@@ -1,0 +1,60 @@
+"""Minimal r2 plane geometry (points/rects) used by Cell.
+
+Semantics of /root/reference/r2/Point.ts and /root/reference/r2/Rect.ts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .interval import R1Interval
+
+
+@dataclass(frozen=True)
+class R2Point:
+    x: float
+    y: float
+
+
+@dataclass
+class R2Rect:
+    x: R1Interval
+    y: R1Interval
+
+    @staticmethod
+    def empty() -> "R2Rect":
+        return R2Rect(R1Interval.empty(), R1Interval.empty())
+
+    @staticmethod
+    def from_points(*pts: R2Point) -> "R2Rect":
+        xs = [p.x for p in pts]
+        ys = [p.y for p in pts]
+        return R2Rect(R1Interval(min(xs), max(xs)), R1Interval(min(ys), max(ys)))
+
+    def is_empty(self) -> bool:
+        return self.x.is_empty()
+
+    def center(self) -> R2Point:
+        return R2Point(self.x.center(), self.y.center())
+
+    def vertices(self) -> list[R2Point]:
+        """CCW order starting from lower-left (r2/Rect.ts vertices)."""
+        return [
+            R2Point(self.x.lo, self.y.lo),
+            R2Point(self.x.hi, self.y.lo),
+            R2Point(self.x.hi, self.y.hi),
+            R2Point(self.x.lo, self.y.hi),
+        ]
+
+    def contains_point(self, p: R2Point) -> bool:
+        return self.x.contains(p.x) and self.y.contains(p.y)
+
+    def intersects(self, o: "R2Rect") -> bool:
+        return self.x.intersects(o.x) and self.y.intersects(o.y)
+
+    def expanded_by_margin(self, margin: float) -> "R2Rect":
+        xx = self.x.expanded(margin)
+        yy = self.y.expanded(margin)
+        if xx.is_empty() or yy.is_empty():
+            return R2Rect.empty()
+        return R2Rect(xx, yy)
