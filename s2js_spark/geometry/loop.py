@@ -426,6 +426,10 @@ class Loop:
 
     def _surface_integral(self, f) -> float:
         """Loop.ts:594-618."""
+        if not self.vertices:
+            # Reference relies on JS undefined-index semantics for the
+            # zero-vertex loop; the integral degenerates to 0.
+            return 0.0
         max_length = PI - 1e-5
         total = 0.0
         origin = self.vertex(0)
@@ -446,6 +450,8 @@ class Loop:
         return total
 
     def _surface_integral_point(self, f) -> Point:
+        if not self.vertices:
+            return Point(0.0, 0.0, 0.0)
         max_length = PI - 1e-5
         total = Point(0.0, 0.0, 0.0)
         origin = self.vertex(0)
