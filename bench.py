@@ -1,0 +1,154 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line.
+
+The flagship spatial pipeline is also run at two parallelism levels
+(local[N/4] vs local[N]) on identical input to evidence the north
+rule's cluster-size scaling criterion: efficiency =
+(throughput_N / throughput_N/4) / 4, target >= 0.8.
+
+The pages corpus is amplified deterministically (each document row
+becomes AMPLIFY page replicas with integer-jittered coordinates) so
+the benchmark measures engine throughput, not tiny-input overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s2js_spark.spark.pages import pages
+from s2js_spark.spark.pipeline import dedup_latest, encode_cells, extract_geotags
+from s2js_spark.spark.tiles import build_tileset, tag_tiles
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "100"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+
+
+def session(n_threads: int) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return (
+        SparkSession.builder.master(f"local[{n_threads}]")
+        .appName(f"bench-{n_threads}")
+        .config("spark.sql.shuffle.partitions", str(max(8, n_threads)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def amplified_pages(spark: SparkSession):
+    """Deterministic xAMPLIFY page replication with coordinate jitter.
+
+    Stays entirely JVM-side (explode over a sequence), so amplification
+    itself is cheap relative to the measured pipeline.
+    """
+    p = pages(spark, SF_DIR).select("url", "warc_ts", "html", "text", "lang", "doc_id")
+    rep = p.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+    # vary url per replica so dedup keeps realistic cardinality
+    return rep.withColumn("url", F.concat_ws("#", "url", "rep"))
+
+
+def tileset():
+    from s2js_spark.geometry.cap import Cap
+    from s2js_spark.geometry.point import Point
+
+    tiles = list(__import__("__spark_entry__").PIP_TILES)
+    tiles += __import__("__spark_entry__").RECT_TILES
+    tiles += __import__("__spark_entry__").CAP_TILES
+    # extra polygon tiles over more cities for realistic fan-out
+    for c in range(6, 16, 2):
+        lat, lng = 7 * c - 55.0, 21 * c - 160.0
+        ring = [
+            [lng - 0.8, lat - 0.5], [lng + 0.8, lat - 0.5],
+            [lng + 0.8, lat + 0.5], [lng - 0.8, lat + 0.5],
+            [lng - 0.8, lat - 0.5],
+        ]
+        tiles.append((f"box_c{c}", {"type": "Polygon", "coordinates": [ring]}))
+    return build_tileset(tiles, max_cells=48)
+
+
+def run_flagship(spark: SparkSession, ts) -> tuple[float, int, int]:
+    t0 = time.time()
+    df = amplified_pages(spark)
+    df = extract_geotags(df)
+    df = encode_cells(df)
+    df = dedup_latest(df)
+    geo = df.filter(F.col("lat").isNotNull())
+    tagged = tag_tiles(spark, geo, ts)
+    out = tagged.select(F.explode("tile_idx").alias("t"), "cellid")
+    agg = out.groupBy("t").count()
+    n_tags = sum(r["count"] for r in agg.collect())
+    n_pages = df.count()
+    return time.time() - t0, n_pages, n_tags
+
+
+def run_query_timings(spark: SparkSession) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    names = ["rect_tag", "pip_tag", "knn", "exact_dedup", "minhash_bands", "ann_topk", "tpch_q1"]
+    qs = e.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ts = tileset()
+
+    levels = [max(2, CPUS // 4), CPUS] if SCALING else [CPUS]
+    throughput = {}
+    pages_count = 0
+    for n in levels:
+        spark = session(n)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm up the JVM/Python workers on a small job
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        wall, n_pages, n_tags = run_flagship(spark, ts)
+        throughput[n] = n_pages / wall
+        pages_count = n_pages
+        last_wall = wall
+
+    eff = None
+    if SCALING and len(levels) == 2:
+        n_lo, n_hi = levels
+        eff = (throughput[n_hi] / throughput[n_lo]) / (n_hi / n_lo)
+
+    spark = SparkSession.getActiveSession() or session(CPUS)
+    q_times = run_query_timings(spark)
+    spark.stop()
+
+    result = {
+        "metric": "flagship_pipeline_sec",
+        "value": round(last_wall, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pages": pages_count,
+        "pages_per_sec": {str(k): round(v, 1) for k, v in throughput.items()},
+        "scaling_efficiency": round(eff, 3) if eff is not None else None,
+        "parallelism_levels": levels,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

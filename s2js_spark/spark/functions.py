@@ -1,0 +1,142 @@
+"""Registered S2 scalar functions as Arrow-batched pandas UDFs.
+
+Every function is a thin wrapper over ``s2js_spark.kernels`` — pure
+NumPy per batch, no per-row Python. Cell ids travel in LongType as the
+raw uint64 bit pattern; ``s2_flip_key`` exposes the order-preserving
+signed key for sorts/range predicates in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+)
+
+from ..kernels import cellid as kc
+
+
+@F.pandas_udf(LongType())
+def s2_cellid(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    """(lat, lng) degrees -> leaf cell id (raw uint64 bits in int64)."""
+    ids = kc.from_latlng_degrees(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
+    return pd.Series(kc.to_int64(ids))
+
+
+@F.pandas_udf(StringType())
+def s2_token(cid: pd.Series) -> pd.Series:
+    return pd.Series(kc.to_token(kc.from_int64(cid.to_numpy(np.int64))))
+
+
+@F.pandas_udf(LongType())
+def s2_from_token(tok: pd.Series) -> pd.Series:
+    return pd.Series(kc.to_int64(kc.from_token(tok.to_numpy(object))))
+
+
+@F.pandas_udf(IntegerType())
+def s2_level(cid: pd.Series) -> pd.Series:
+    return pd.Series(kc.level(kc.from_int64(cid.to_numpy(np.int64))).astype(np.int32))
+
+
+def _parent_udf():
+    @F.pandas_udf(LongType())
+    def s2_parent(cid: pd.Series, level: pd.Series) -> pd.Series:
+        ids = kc.from_int64(cid.to_numpy(np.int64))
+        return pd.Series(kc.to_int64(kc.parent(ids, level.to_numpy(np.int64))))
+
+    return s2_parent
+
+
+s2_parent = _parent_udf()
+
+
+@F.pandas_udf(LongType())
+def s2_range_min(cid: pd.Series) -> pd.Series:
+    return pd.Series(kc.to_int64(kc.range_min(kc.from_int64(cid.to_numpy(np.int64)))))
+
+
+@F.pandas_udf(LongType())
+def s2_range_max(cid: pd.Series) -> pd.Series:
+    return pd.Series(kc.to_int64(kc.range_max(kc.from_int64(cid.to_numpy(np.int64)))))
+
+
+@F.pandas_udf(LongType())
+def s2_flip_key(cid: pd.Series) -> pd.Series:
+    """Signed order == unsigned S2 order (XOR with 2**63)."""
+    return pd.Series(kc.flip_key(kc.from_int64(cid.to_numpy(np.int64))))
+
+
+@F.pandas_udf(BooleanType())
+def s2_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    ia = kc.from_int64(a.to_numpy(np.int64))
+    ib = kc.from_int64(b.to_numpy(np.int64))
+    return pd.Series(kc.contains(ia, ib))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def s2_children(cid: pd.Series) -> pd.Series:
+    ch = kc.children(kc.from_int64(cid.to_numpy(np.int64)))
+    out = kc.to_int64(ch).T  # (n, 4)
+    return pd.Series(list(out))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def s2_edge_neighbors(cid: pd.Series) -> pd.Series:
+    nb = kc.edge_neighbors(kc.from_int64(cid.to_numpy(np.int64)))
+    return pd.Series(list(kc.to_int64(nb).T))
+
+
+@F.pandas_udf(DoubleType())
+def s2_lat(cid: pd.Series) -> pd.Series:
+    lat, _ = kc.to_latlng_degrees(kc.from_int64(cid.to_numpy(np.int64)))
+    return pd.Series(lat)
+
+
+@F.pandas_udf(DoubleType())
+def s2_lng(cid: pd.Series) -> pd.Series:
+    _, lng = kc.to_latlng_degrees(kc.from_int64(cid.to_numpy(np.int64)))
+    return pd.Series(lng)
+
+
+@F.pandas_udf(DoubleType())
+def s2_chord2(lat1: pd.Series, lng1: pd.Series, lat2: pd.Series, lng2: pd.Series) -> pd.Series:
+    """Squared chord distance between two (lat,lng)-degree points."""
+    from ..kernels import stuv
+
+    d = np.pi / 180.0
+    x1, y1, z1 = stuv.latlng_to_xyz(lat1.to_numpy() * d, lng1.to_numpy() * d)
+    x2, y2, z2 = stuv.latlng_to_xyz(lat2.to_numpy() * d, lng2.to_numpy() * d)
+    dx, dy, dz = x1 - x2, y1 - y2, z1 - z2
+    return pd.Series(np.minimum(4.0, dx * dx + dy * dy + dz * dz))
+
+
+_ALL = {
+    "s2_cellid": s2_cellid,
+    "s2_token": s2_token,
+    "s2_from_token": s2_from_token,
+    "s2_level": s2_level,
+    "s2_parent": s2_parent,
+    "s2_range_min": s2_range_min,
+    "s2_range_max": s2_range_max,
+    "s2_flip_key": s2_flip_key,
+    "s2_contains": s2_contains,
+    "s2_children": s2_children,
+    "s2_edge_neighbors": s2_edge_neighbors,
+    "s2_lat": s2_lat,
+    "s2_lng": s2_lng,
+    "s2_chord2": s2_chord2,
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Make every S2 function callable from SQL."""
+    for name, udf in _ALL.items():
+        spark.udf.register(name, udf)

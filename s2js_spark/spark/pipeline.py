@@ -1,0 +1,85 @@
+"""The flagship pipeline: scan pages -> extract geotags -> S2-encode ->
+dedup re-crawls -> spatial join to tile sets.
+
+Stage order is chosen for scan efficiency at 100 TB: the geotag regex
+reads only ``html``; ``text`` is carried through untouched (byte
+identity asserted in tests); dedup shuffles on ``url`` once; the tile
+join is map-side (broadcast kernel, no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from . import functions as s2f
+from .tiles import TileSetStruct, tag_tiles
+
+# Decimal-degree geotag in <meta name="geo.position" content="lat;lng">
+# (engine-only op, SURVEY §2.9 input_hint).
+_GEO_RE = r'<meta name="geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+
+_GEO_SCHEMA = StructType(
+    [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
+)
+
+
+@F.pandas_udf(_GEO_SCHEMA)
+def geo_extract(html: pd.Series) -> pd.DataFrame:
+    """Vectorized geotag extraction from raw html bytes."""
+    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else b)
+    ex = s.str.extract(_GEO_RE)
+    return pd.DataFrame(
+        {"lat": pd.to_numeric(ex[0]), "lng": pd.to_numeric(ex[1])}
+    )
+
+
+def extract_geotags(df: DataFrame) -> DataFrame:
+    """Append lat/lng doubles parsed from the html geotag (null if none)."""
+    g = geo_extract(F.col("html"))
+    return df.withColumn("_geo", g).withColumn("lat", F.col("_geo.lat")).withColumn(
+        "lng", F.col("_geo.lng")
+    ).drop("_geo")
+
+
+def encode_cells(df: DataFrame) -> DataFrame:
+    """Leaf cell id + token for geotagged rows."""
+    return df.withColumn(
+        "cellid",
+        F.when(F.col("lat").isNotNull(), s2f.s2_cellid(F.col("lat"), F.col("lng"))),
+    ).withColumn("token", F.when(F.col("cellid").isNotNull(), s2f.s2_token(F.col("cellid"))))
+
+
+def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """Keep the most recent crawl per url (SURVEY §2.7)."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc("doc_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tag_pipeline(
+    spark: SparkSession, pages_df: DataFrame, ts: TileSetStruct
+) -> DataFrame:
+    """pages -> (url, tile_id, cellid, token, text, lang): the flagship."""
+    df = extract_geotags(pages_df)
+    df = encode_cells(df)
+    df = dedup_latest(df)
+    geo = df.filter(F.col("lat").isNotNull())
+    tagged = tag_tiles(spark, geo, ts)
+    exploded = tagged.select(
+        "url",
+        "cellid",
+        "token",
+        "text",
+        "lang",
+        F.explode("tile_idx").alias("tile_i"),
+    )
+    tile_names = [(i, str(t)) for i, t in enumerate(ts.tile_ids)]
+    names_df = spark.createDataFrame(tile_names, ["tile_i", "tile_id"])
+    return exploded.join(F.broadcast(names_df), "tile_i").drop("tile_i")

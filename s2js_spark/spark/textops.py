@@ -1,0 +1,163 @@
+"""Text-analysis and deduplication operators for training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM, whole-stage
+codegen); nothing here drops to Python. Hash choices (md5, polynomial
+rolling hash over integer codes) are engine-portable so every operator
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# A tiny stopword list per language for the n-gram language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["de", "shi", "le"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def token_count(col: str = "text"):
+    """Whitespace token count (JVM-side)."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length quality scores."""
+    tokens = F.split(F.trim(F.col(col)), r"\s+")
+    n_tokens = F.size(tokens)
+    n_chars = F.length(F.col(col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(col), r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: t.isin(STOPWORDS))
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6))
+        .withColumn(
+            "avg_word_len",
+            F.round((n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """Exact content dedup: keep one representative per md5(text).
+
+    Representative = lexicographically smallest key; fully shuffle-
+    on-hash, the canonical 100 TB exact-dedup plan.
+    """
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash").orderBy(key_col)
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(col: str, k: int = 8):
+    """Array of k-character shingles (JVM higher-order functions)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
+    )
+
+
+def minhash_signature(col: str, k: int = 8, num_hashes: int = 8):
+    """MinHash signature as an array of per-salt minima of md5(shingle).
+
+    md5 hex strings order identically everywhere; salts are plain
+    prefixes so DuckDB can reproduce the signature verbatim.
+    """
+    sh = f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), i -> substring({col}, i, {k}))"
+    mins = ", ".join(
+        f"array_min(transform({sh}, s -> md5(concat('salt{i}:', s))))"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"array({mins})")
+
+
+def minhash_dedup_groups(
+    df: DataFrame, text_col: str = "text", key_col: str = "url",
+    k: int = 8, num_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """LSH near-dup candidate groups: band over the MinHash signature,
+    bucket-join on band value (shuffle on band hash — scales linearly).
+
+    Returns (band, band_sig, key) rows for buckets with >1 member.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, k, num_hashes)
+    df = df.withColumn("_sig", sig)
+    bands_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> concat_ws('|', slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    exploded = (
+        df.withColumn("_bands", bands_arr)
+        .select(key_col, F.posexplode("_bands").alias("band", "band_sig"))
+    )
+    w = Window.partitionBy("band", "band_sig")
+    return (
+        exploded.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+
+
+def simhash64(col: str, k: int = 4):
+    """64-bit SimHash from k-shingles via md5-derived bit drift.
+
+    For each of 64 bit positions, sum +-1 across shingles according to
+    bit j of the shingle's md5; sign of the sum is the fingerprint bit.
+    Kept engine-portable: conv(substring(md5,...),16,10) & bit.
+    """
+    sh = f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), i -> substring({col}, i, {k}))"
+    # per shingle: first 16 hex chars of md5 as a BIGINT (cast through
+    # unsigned decimal string)
+    hashes = (
+        f"transform({sh}, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    )
+    bits = ", ".join(
+        f"case when aggregate({hashes}, 0L,"
+        f" (acc, h) -> acc + (case when (h div {1 << j}) % 2 = 1 then 1 else -1 end)) > 0"
+        f" then {1 << j}L else 0L end"
+        for j in range(16)  # 16 sign bits keep the expression tree sane
+    )
+    return F.expr("aggregate(array(" + bits + "), 0L, (acc, v) -> acc + v)")
+
+
+def ngram_jaccard(col_a: str, col_b: str, k: int = 8):
+    """Exact n-gram Jaccard similarity between two text columns."""
+    sa = f"array_distinct(transform(sequence(1, greatest(length({col_a}) - {k - 1}, 1)), i -> substring({col_a}, i, {k})))"
+    sb = f"array_distinct(transform(sequence(1, greatest(length({col_b}) - {k - 1}, 1)), i -> substring({col_b}, i, {k})))"
+    return F.expr(
+        f"size(array_intersect({sa}, {sb})) / cast(size(array_union({sa}, {sb})) as double)"
+    )
+
+
+def doc_fingerprint(col: str = "text"):
+    """Deterministic 64-bit-ish rolling fingerprint: first 15 hex chars
+    of md5 as BIGINT (portable to DuckDB via from_hex)."""
+    return F.expr(f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)")
+
+
+def lang_id_heuristic(df: DataFrame, col: str = "text") -> DataFrame:
+    """Toy n-gram language ID: argmax of marker-token hit counts."""
+    tokens = F.split(F.trim(F.col(col)), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(tokens, lambda t: t.isin(markers)))
+        scores.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn("lang_pred", best["lang"]).withColumn("lang_score", best["score"])
