@@ -429,9 +429,13 @@ def oracle_sql() -> dict[str, str]:
     qx, qy, qz = _xyz_sql("q.qlat", "q.qlng")
 
     shing = "list_transform(generate_series(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8))"
-    minhash = ", ".join(
-        f"list_min(list_transform({shing}, s -> md5('salt{i}:' || s)))" for i in range(8)
-    )
+    minhash_parts = []
+    for i in range(8):
+        salt, slice_i = divmod(i, 4)
+        minhash_parts.append(
+            f"list_min(list_transform(d{salt}, h -> substr(h, {1 + 8 * slice_i}, 8)))"
+        )
+    minhash = ", ".join(minhash_parts)
 
     lang_hits = {
         lang: (
@@ -494,7 +498,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY url
                     ORDER BY warc_ts_sec DESC, doc_id DESC) AS rn FROM pages)
               WHERE rn = 1),
-            sigs AS (SELECT url, [{minhash}] AS sig FROM dedup),
+            digests AS (SELECT url,
+              list_transform({shing}, s -> md5('salt0:' || s)) AS d0,
+              list_transform({shing}, s -> md5('salt1:' || s)) AS d1
+              FROM dedup),
+            sigs AS (SELECT url, [{minhash}] AS sig FROM digests),
             bands AS (
               SELECT url, b AS band,
                 array_to_string(sig[b * 2 + 1 : b * 2 + 2], '|') AS band_sig

@@ -58,7 +58,14 @@ def amplified_pages(spark: SparkSession):
     itself is cheap relative to the measured pipeline.
     """
     p = pages(spark, SF_DIR).select("url", "warc_ts", "html", "text", "lang", "doc_id")
-    rep = p.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The tiny local parquet arrives as ~1 split; a real 100 TB table
+    # arrives as thousands. Spread the replica fan-out across cores so
+    # the benchmark measures the engine, not a single-task bottleneck.
+    rep = (
+        p.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        .repartition(n_part * 4)
+    )
     # vary url per replica so dedup keeps realistic cardinality
     return rep.withColumn("url", F.concat_ws("#", "url", "rep"))
 

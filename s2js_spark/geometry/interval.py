@@ -114,11 +114,14 @@ class S1Interval:
 
     @staticmethod
     def from_endpoints(lo: float, hi: float) -> "S1Interval":
+        # Both conditions test the ORIGINAL endpoints (Interval.ts:38-43),
+        # so (-pi, -pi) normalizes to (pi, pi), not the empty interval.
+        new_lo, new_hi = lo, hi
         if lo == -PI and hi != PI:
-            lo = PI
+            new_lo = PI
         if hi == -PI and lo != PI:
-            hi = PI
-        return S1Interval(lo, hi)
+            new_hi = PI
+        return S1Interval(new_lo, new_hi)
 
     @staticmethod
     def from_point_pair(a: float, b: float) -> "S1Interval":

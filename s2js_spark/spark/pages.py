@@ -105,6 +105,10 @@ def pages(spark: SparkSession, sf_dir: str, with_binary_html: bool = True) -> Da
     """
     register_documents(spark, sf_dir)
     df = spark.sql(PAGES_SQL)
+    # The local documents parquet is one split; a production crawl table
+    # is thousands. Spread rows across cores so downstream stages see
+    # realistic parallelism.
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     df = df.withColumn("warc_ts", F.timestamp_seconds(F.col("warc_ts_sec")))
     if with_binary_html:
         df = df.withColumn("html", F.encode(F.col("html"), "UTF-8"))

@@ -74,17 +74,26 @@ def shingles(col: str, k: int = 8):
 
 
 def minhash_signature(col: str, k: int = 8, num_hashes: int = 8):
-    """MinHash signature as an array of per-salt minima of md5(shingle).
+    """MinHash signature: ceil(num_hashes/4) salted md5s per shingle,
+    each sliced into four 8-hex-char (32-bit) sub-hashes.
 
-    md5 hex strings order identically everywhere; salts are plain
-    prefixes so DuckDB can reproduce the signature verbatim.
+    Slicing amortizes the md5 cost 4x versus one digest per hash
+    function; hex strings order identically everywhere so DuckDB can
+    reproduce the signature verbatim.
     """
-    sh = f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), i -> substring({col}, i, {k}))"
-    mins = ", ".join(
-        f"array_min(transform({sh}, s -> md5(concat('salt{i}:', s))))"
-        for i in range(num_hashes)
+    sh = (
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
     )
-    return F.expr(f"array({mins})")
+    n_salts = (num_hashes + 3) // 4
+    mins = []
+    for i in range(num_hashes):
+        salt, slice_i = divmod(i, 4)
+        digest = f"transform({sh}, s -> md5(concat('salt{salt}:', s)))"
+        mins.append(
+            f"array_min(transform({digest}, h -> substring(h, {1 + 8 * slice_i}, 8)))"
+        )
+    return F.expr(f"array({', '.join(mins)})")
 
 
 def minhash_dedup_groups(
@@ -97,8 +106,25 @@ def minhash_dedup_groups(
     Returns (band, band_sig, key) rows for buckets with >1 member.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, k, num_hashes)
-    df = df.withColumn("_sig", sig)
+    # Materialize the salted digest arrays once as columns so each md5
+    # is computed exactly once per shingle (Catalyst does not CSE
+    # across higher-order function calls).
+    sh = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    n_salts = (num_hashes + 3) // 4
+    for salt in range(n_salts):
+        df = df.withColumn(
+            f"_d{salt}", F.expr(f"transform({sh}, s -> md5(concat('salt{salt}:', s)))")
+        )
+    mins = []
+    for i in range(num_hashes):
+        salt, slice_i = divmod(i, 4)
+        mins.append(
+            f"array_min(transform(_d{salt}, h -> substring(h, {1 + 8 * slice_i}, 8)))"
+        )
+    df = df.withColumn("_sig", F.expr(f"array({', '.join(mins)})"))
     bands_arr = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> concat_ws('|', slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))"
