@@ -428,7 +428,7 @@ def oracle_sql() -> dict[str, str]:
     )
     qx, qy, qz = _xyz_sql("q.qlat", "q.qlng")
 
-    shing = "list_transform(generate_series(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8))"
+    shing = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8)))"
     minhash_parts = []
     for i in range(8):
         salt, slice_i = divmod(i, 4)

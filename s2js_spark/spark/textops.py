@@ -109,9 +109,11 @@ def minhash_dedup_groups(
     # Materialize the salted digest arrays once as columns so each md5
     # is computed exactly once per shingle (Catalyst does not CSE
     # across higher-order function calls).
+    # Distinct shingles first: min over a multiset equals min over the
+    # set, and word-soup text repeats shingles heavily.
     sh = (
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
     )
     n_salts = (num_hashes + 3) // 4
     for salt in range(n_salts):
