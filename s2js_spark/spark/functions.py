@@ -140,3 +140,63 @@ def register_all(spark: SparkSession) -> None:
     """Make every S2 function callable from SQL."""
     for name, udf in _ALL.items():
         spark.udf.register(name, udf)
+
+
+def _cover_udf():
+    from ..geometry import cellid_scalar as _cs
+    from ..geometry.geojson import GeoJSONRegionCoverer
+    import json as _json
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def s2_cover(geojson_str: pd.Series, max_cells: pd.Series) -> pd.Series:
+        """GeoJSON geometry string -> covering cell ids (array<long>).
+
+        Per-geometry object code (SURVEY §2.13 [D->column]); runs
+        distributed, one geometry per row — the tile-set ingestion
+        path when tiles arrive as a DataFrame column.
+        """
+        out = []
+        coverers: dict[int, GeoJSONRegionCoverer] = {}
+        for gj, mc in zip(geojson_str, max_cells):
+            if gj is None:
+                out.append(None)
+                continue
+            mc = int(mc)
+            cov = coverers.setdefault(mc, GeoJSONRegionCoverer(max_cells=mc))
+            cells = cov.covering(_json.loads(gj))
+            out.append(
+                list(np.array(cells, dtype=np.uint64).view(np.int64))
+                if cells else []
+            )
+        return pd.Series(out)
+
+    return s2_cover
+
+
+s2_cover = _cover_udf()
+
+
+def _union_normalize_udf():
+    from ..geometry.cellunion import CellUnion
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def s2_cell_union_normalize(cells: pd.Series) -> pd.Series:
+        """Normalize an array<long> of cell ids per row (sort, drop
+        contained, collapse sibling quads) — CellUnion.normalize."""
+        out = []
+        for arr in cells:
+            if arr is None:
+                out.append(None)
+                continue
+            cu = CellUnion(int(np.int64(c).astype(np.uint64)) for c in arr)
+            cu.normalize()
+            out.append(list(np.array(cu, dtype=np.uint64).view(np.int64)))
+        return pd.Series(out)
+
+    return s2_cell_union_normalize
+
+
+s2_cell_union_normalize = _union_normalize_udf()
+
+_ALL["s2_cover"] = s2_cover
+_ALL["s2_cell_union_normalize"] = s2_cell_union_normalize

@@ -1,0 +1,80 @@
+"""Salted aggregation, hot-key detection, and the covering UDFs."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2js_spark.spark.session import get_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_salted_agg_matches_plain(spark):
+    from s2js_spark.spark.skew import detect_hot_keys, salted_agg
+
+    # Zipf-ish: key 0 holds ~50% of rows
+    df = spark.range(20000).selectExpr(
+        "case when id % 2 = 0 then 0 else id % 37 end as key",
+        "cast(id as double) as v",
+    )
+    hot = detect_hot_keys(df, "key", threshold_ratio=0.2)
+    assert [r["key"] for r in hot.collect()] == [0]
+
+    got = salted_agg(
+        df,
+        "key",
+        aggs=[
+            (F.count("*"), F.sum, "n"),
+            (F.sum("v"), F.sum, "sum_v"),
+            (F.max("v"), F.max, "max_v"),
+        ],
+        n_salts=8,
+    ).toPandas().sort_values("key").reset_index(drop=True)
+
+    want = (
+        df.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"), F.max("v").alias("max_v"))
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["sum_v"].tolist() == want["sum_v"].tolist()
+    assert got["max_v"].tolist() == want["max_v"].tolist()
+
+
+def test_s2_cover_udf_matches_driver_coverer(spark):
+    from s2js_spark.geometry.geojson import GeoJSONRegionCoverer
+    from s2js_spark.spark import functions as s2f
+    from tests.test_tiles_kernel import _polygon_geojson
+
+    geoms = [
+        _polygon_geojson(46.2, 6.1, 0.6),
+        _polygon_geojson(-20.0, 130.0, 2.0, n=9),
+        {"type": "Point", "coordinates": [2.35, 48.85]},
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(g)) for i, g in enumerate(geoms)], ["gid", "gj"]
+    )
+    got = (
+        df.withColumn("cov", s2f.s2_cover(F.col("gj"), F.lit(16)))
+        .withColumn("cov_norm", s2f.s2_cell_union_normalize(F.col("cov")))
+        .toPandas()
+        .sort_values("gid")
+    )
+    cov = GeoJSONRegionCoverer(max_cells=16)
+    for i, g in enumerate(geoms):
+        want = [int(np.uint64(c).astype(np.int64)) for c in cov.covering(g)]
+        assert list(got.iloc[i]["cov"]) == want
+        # coverings are already normalized
+        assert list(got.iloc[i]["cov_norm"]) == want
