@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from s2js_spark.spark.pages import pages
-from s2js_spark.spark.pipeline import dedup_latest, encode_cells, extract_geotags
-from s2js_spark.spark.tiles import build_tileset, tag_tiles
+from s2js_spark.spark.pipeline import dedup_latest, extract_geotags
+from s2js_spark.spark.tiles import build_tileset, tag_and_encode
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -96,10 +96,9 @@ def run_flagship(spark: SparkSession, ts) -> tuple[float, int, int]:
     t0 = time.time()
     df = amplified_pages(spark)
     df = extract_geotags(df)
-    df = encode_cells(df)
     df = dedup_latest(df)
     geo = df.filter(F.col("lat").isNotNull())
-    tagged = tag_tiles(spark, geo, ts)
+    tagged = tag_and_encode(spark, geo, ts)
     out = tagged.select(F.explode("tile_idx").alias("t"), "cellid")
     agg = out.groupBy("t").count()
     n_tags = sum(r["count"] for r in agg.collect())

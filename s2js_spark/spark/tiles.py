@@ -424,3 +424,45 @@ def tag_tiles(
         return pd.Series(out)
 
     return df.withColumn("tile_idx", _tag(F.col(lat_col), F.col(lng_col)))
+
+
+def tag_and_encode(
+    spark: SparkSession,
+    df: DataFrame,
+    ts: TileSetStruct,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Fused kernel: leaf cellid + token + tile membership in ONE
+    Arrow crossing (the flagship hot path: 3 ArrowEvalPython nodes
+    collapse into 1, and only two double columns are shipped)."""
+    from pyspark.sql.types import LongType as _Long, StructField, StructType
+
+    bc = spark.sparkContext.broadcast(ts)
+    schema = StructType(
+        [
+            StructField("cellid", _Long()),
+            StructField("tile_idx", ArrayType(IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _fused(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+        t = bc.value
+        lat_np = lat.to_numpy(np.float64)
+        lng_np = lng.to_numpy(np.float64)
+        leaf = kc.from_latlng_degrees(lat_np, lng_np)
+        doc_idx, tile, interior = candidates_for_leaves(t, leaf)
+        doc_idx, tile = refine_candidates(t, doc_idx, tile, interior, lat_np, lng_np)
+        tiles = [[] for _ in range(len(lat_np))]
+        for di, ti in zip(doc_idx, tile):
+            tiles[di].append(int(ti))
+        # NOTE: no token column here — hex formatting is a per-row
+        # Python loop and belongs on the (small) output side, not the
+        # 10^12-row hot path.
+        return pd.DataFrame({"cellid": kc.to_int64(leaf), "tile_idx": tiles})
+
+    # F.inline is a generator node: the UDF is evaluated exactly once
+    # (plain struct-field projection would duplicate the ArrowEvalPython
+    # node once per referenced field).
+    return df.select("*", F.inline(F.array(_fused(F.col(lat_col), F.col(lng_col)))))
