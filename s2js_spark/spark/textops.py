@@ -126,14 +126,28 @@ def minhash_dedup_groups(
         mins.append(
             f"array_min(transform(_d{salt}, h -> substring(h, {1 + 8 * slice_i}, 8)))"
         )
-    df = df.withColumn("_sig", F.expr(f"array({', '.join(mins)})"))
+    df = df.withColumn("_sig", F.expr(f"array({', '.join(mins)})")).select(key_col, "_sig")
+    # ROUND-ROBIN exchange barrier before the band explode. Without it
+    # the Generate node inlines the full signature chain (md5 digests
+    # included) and re-evaluates it per band row in interpreted mode —
+    # measured 84s vs 6s on sf0.1. A hash repartition on key_col would
+    # be optimizer-eliminated (the dedup window already partitions by
+    # key); round-robin cannot be.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_part)
     bands_arr = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> concat_ws('|', slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))"
     )
+    # posexplode_OUTER: the non-outer variant triggers Spark's
+    # InferFiltersFromGenerate rule, which synthesizes size(_bands)>0
+    # and pushes the fully-inlined signature chain (md5 passes and all)
+    # below every exchange — re-evaluating it per input row in
+    # interpreted mode (measured 84s vs 6s on sf0.1). _bands is always
+    # length-4, so outer semantics are identical.
     exploded = (
         df.withColumn("_bands", bands_arr)
-        .select(key_col, F.posexplode("_bands").alias("band", "band_sig"))
+        .select(key_col, F.posexplode_outer("_bands").alias("band", "band_sig"))
     )
     w = Window.partitionBy("band", "band_sig")
     return (
