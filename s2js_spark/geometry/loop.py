@@ -48,6 +48,32 @@ def wedge_intersects(a0: Point, ab1: Point, a2: Point, b0: Point, b2: Point) -> 
     return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
 
 
+# Wedge relation enum (wedge_relations.ts:12-16)
+WEDGE_EQUALS = 0
+WEDGE_PROPERLY_CONTAINS = 1
+WEDGE_IS_PROPERLY_CONTAINED = 2
+WEDGE_PROPERLY_OVERLAPS = 3
+WEDGE_IS_DISJOINT = 4
+
+
+def wedge_relation(a0: Point, ab1: Point, a2: Point, b0: Point, b2: Point) -> int:
+    """Relation between wedges A=(a0,ab1,a2), B=(b0,ab1,b2)
+    (wedge_relations.ts:22-36)."""
+    if a0.equals(b0) and a2.equals(b2):
+        return WEDGE_EQUALS
+    if ordered_ccw(a0, a2, b2, ab1):
+        if ordered_ccw(b2, b0, a0, ab1):
+            return WEDGE_PROPERLY_CONTAINS
+        if a2.equals(b2):
+            return WEDGE_IS_PROPERLY_CONTAINED
+        return WEDGE_PROPERLY_OVERLAPS
+    if ordered_ccw(a0, b0, b2, ab1):
+        return WEDGE_IS_PROPERLY_CONTAINED
+    if ordered_ccw(a0, b0, a2, ab1):
+        return WEDGE_IS_DISJOINT
+    return WEDGE_PROPERLY_OVERLAPS
+
+
 class RectBounder:
     """Conservative lat/lng bound of an edge chain (RectBounder.ts:19-125)."""
 
