@@ -167,3 +167,46 @@ def test_media_feature_plumbing(spark):
     a = [list(v) for v in feats.sort_values("media_id")["feature"]]
     b = [list(v) for v in f2.sort_values("media_id")["feature"]]
     assert a == b
+
+
+def test_streaming_incremental_tiling(spark, tmp_path):
+    """SURVEY §2.12 stretch: the spatial tagging pipeline under
+    Structured Streaming (availableNow incremental batches) produces
+    exactly the batch result."""
+    import __spark_entry__ as entry
+    from s2js_spark.spark.pages import pages
+    from s2js_spark.spark.pipeline import extract_geotags
+    from s2js_spark.spark.tiles import build_tileset, tag_tiles
+
+    ts = build_tileset(entry.PIP_TILES + entry.RECT_TILES, max_cells=32)
+
+    src_dir = str(tmp_path / "pages_src")
+    p = pages(spark, SF).select("url", "html")
+    p.write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", 1)  # incremental batches
+        .parquet(src_dir)
+    )
+    tagged = tag_tiles(spark, extract_geotags(stream), ts)
+    out = tagged.selectExpr("url", "explode(tile_idx) as tile_i")
+
+    out_dir = str(tmp_path / "tags_out")
+    ckpt = str(tmp_path / "tags_ckpt")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["url"], r["tile_i"]) for r in spark.read.parquet(out_dir).collect()}
+    batch = tag_tiles(spark, extract_geotags(p), ts).selectExpr(
+        "url", "explode(tile_idx) as tile_i"
+    )
+    want = {(r["url"], r["tile_i"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
