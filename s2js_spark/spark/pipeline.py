@@ -48,11 +48,16 @@ def extract_geotags(df: DataFrame) -> DataFrame:
     casts agree bit-for-bit.
     """
     page = F.decode(F.col("html"), "UTF-8")
-    lat_s = F.regexp_extract(page, _GEO_RE, 1)
-    lng_s = F.regexp_extract(page, _GEO_RE, 2)
+    # One regex pass for the whole content attribute, then cheap splits
+    # (two regexp_extract calls would decode + scan the page twice).
+    content = F.regexp_extract(
+        page, r'<meta name="geo\.position" content="(-?\d+\.\d+;-?\d+\.\d+)"', 1
+    )
+    lat_s = F.substring_index(content, ";", 1)
+    lng_s = F.substring_index(content, ";", -1)
     return df.withColumn(
-        "lat", F.when(lat_s != "", lat_s.cast("double"))
-    ).withColumn("lng", F.when(lng_s != "", lng_s.cast("double")))
+        "lat", F.when(content != "", lat_s.cast("double"))
+    ).withColumn("lng", F.when(content != "", lng_s.cast("double")))
 
 
 def encode_cells(df: DataFrame) -> DataFrame:

@@ -31,7 +31,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(9).astype(np.float64)
+            # EXACT float compare (the engine queries round() their
+            # float outputs themselves; the comparison must not mask
+            # cross-engine drift the driver's value-hash would catch).
+            df[c] = df[c].astype(np.float64)
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype(np.int64)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
