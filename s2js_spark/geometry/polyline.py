@@ -36,14 +36,15 @@ class Polyline:
         )
 
     def centroid(self) -> Point:
+        """Length-scaled true centroid (Polyline.ts:83-93)."""
+        import math
+
         centroid = Point(0.0, 0.0, 0.0)
         for i in range(1, len(self.points)):
             v_sum = self.points[i - 1].add(self.points[i])
             v_diff = self.points[i - 1].sub(self.points[i])
-            import math
-
             centroid = centroid.add(
-                v_sum.mul(math.sqrt(1 + v_diff.norm2() / v_sum.norm2()))
+                v_sum.mul(math.sqrt(v_diff.norm2() / v_sum.norm2()))
             )
         return centroid
 
@@ -107,3 +108,23 @@ class Polyline:
                 return _edge_interpolate(target / length, self.points[i - 1], self.points[i]), i
             target -= length
         return self.points[-1], len(self.points)
+
+    def project(self, point: Point) -> tuple[Point, int]:
+        """Closest point on the polyline + next vertex index
+        (Polyline.ts:323-341)."""
+        from .edge_distances import distance_from_segment
+        from .edge_distances import project as _project
+
+        if len(self.points) == 1:
+            return self.points[0], 1
+        min_dist = 10.0
+        min_index = -1
+        for i in range(1, len(self.points)):
+            dist = distance_from_segment(point, self.points[i - 1], self.points[i])
+            if dist < min_dist:
+                min_dist = dist
+                min_index = i
+        closest = _project(point, self.points[min_index - 1], self.points[min_index])
+        if closest.equals(self.points[min_index]):
+            min_index += 1
+        return closest, min_index
