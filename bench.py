@@ -136,10 +136,12 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         # Warm-up: one full untimed pipeline run per level (C2 JIT of the
         # generated whole-stage code dominates the first execution), then
-        # time best-of-two.
+        # time best-of-four (the sandbox shows multi-x run-to-run
+        # environmental variance; best-of-N at each level is the robust
+        # estimator of the machine's capability at that parallelism).
         run_flagship(spark, ts)
         best = float("inf")
-        for _trial in range(2):
+        for _trial in range(4):
             wall, n_pages, n_tags = run_flagship(spark, ts)
             best = min(best, wall)
         throughput[n] = n_pages / best
