@@ -15,6 +15,36 @@ class R2Point:
     x: float
     y: float
 
+    # r2/Point.ts vector algebra
+    def add(self, o: "R2Point") -> "R2Point":
+        return R2Point(self.x + o.x, self.y + o.y)
+
+    def sub(self, o: "R2Point") -> "R2Point":
+        return R2Point(self.x - o.x, self.y - o.y)
+
+    def mul(self, m: float) -> "R2Point":
+        return R2Point(m * self.x, m * self.y)
+
+    def ortho(self) -> "R2Point":
+        return R2Point(-self.y, self.x)
+
+    def dot(self, o: "R2Point") -> float:
+        return self.x * o.x + self.y * o.y
+
+    def cross(self, o: "R2Point") -> float:
+        return self.x * o.y - self.y * o.x
+
+    def norm(self) -> float:
+        import math
+
+        return math.hypot(self.x, self.y)
+
+    def normalize(self) -> "R2Point":
+        n = self.norm()
+        if n == 0:
+            return R2Point(0.0, 0.0)
+        return self.mul(1 / n)
+
 
 @dataclass
 class R2Rect:
