@@ -25,7 +25,6 @@ is irrelevant because membership is a map-side kernel, not a key join.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -40,7 +39,6 @@ from ..geometry.loop import Loop
 from ..geometry.point import Point
 from ..geometry.polygon import Polygon
 from ..geometry.rect import Rect
-from ..geometry.regioncoverer import RegionCoverer
 from ..kernels import cellid as kc
 
 MAX_DETERMINANT_ERROR = 1.8274 * 2.220446049250313e-16
@@ -88,7 +86,6 @@ def _origin_xyz() -> tuple[float, float, float]:
 def build_tileset(
     tiles: list[tuple[object, dict]],
     max_cells: int = 64,
-    interior_max_cells: int | None = None,
 ) -> TileSetStruct:
     """Cover polygons/rects/caps and build the broadcast struct.
 
@@ -96,8 +93,6 @@ def build_tileset(
     (tile_id, shape) with shape already a Polygon/Rect/tuple cap
     ((lat, lng), radius_rad).
     """
-    if interior_max_cells is None:
-        interior_max_cells = max_cells
     coverer = GeoJSONRegionCoverer(max_cells=max_cells)
 
     intervals: list[tuple[int, int, int, bool]] = []  # lo, hi, tile, interior
