@@ -37,7 +37,8 @@ from s2js_spark.spark.pipeline import (
     tag_pipeline,
 )
 from s2js_spark.spark.similarity import brute_force_topk, cosine_expr, lsh_topk
-from s2js_spark.spark.tiles import build_tileset, tag_tiles
+from s2js_spark.spark.tagjoin import tag_tiles_pairs
+from s2js_spark.spark.tiles import build_tileset
 
 D = math.pi / 180.0
 
@@ -134,59 +135,53 @@ def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rect_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = build_tileset(RECT_TILES, max_cells=32)
-    tagged = tag_tiles(spark, df, ts)
+    pairs = tag_tiles_pairs(spark, df, ts)
     names = spark.createDataFrame(
         [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
     )
-    return (
-        tagged.select("url", F.explode("tile_idx").alias("tile_i"))
-        .join(F.broadcast(names), "tile_i")
-        .select("url", "tile_id")
-    )
+    return pairs.join(F.broadcast(names), "tile_i").select("url", "tile_id")
 
 
 def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = build_tileset(PIP_TILES, max_cells=64)
-    tagged = tag_tiles(spark, df, ts)
+    pairs = tag_tiles_pairs(spark, df, ts)
     names = spark.createDataFrame(
         [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
     )
-    return (
-        tagged.select("url", F.explode("tile_idx").alias("tile_i"))
-        .join(F.broadcast(names), "tile_i")
-        .select("url", "tile_id")
-    )
+    return pairs.join(F.broadcast(names), "tile_i").select("url", "tile_id")
 
 
 def _q_cap_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = build_tileset(CAP_TILES, max_cells=32)
-    tagged = tag_tiles(spark, df, ts)
-    return tagged.filter(F.size("tile_idx") > 0).select(
-        "url", F.lit("cap_c12").alias("tile_id")
-    )
+    pairs = tag_tiles_pairs(spark, df, ts)
+    return pairs.select("url", F.lit("cap_c12").alias("tile_id"))
 
 
 def _q_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leaf cell encode + hierarchy columns (non-SQL: rows-only check)."""
+    from s2js_spark.spark import sqlkernels as sq
+
     df = encode_cells(_geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull()))
     return df.select(
         "url",
         "cellid",
         "token",
-        s2f.s2_level(F.col("cellid")).alias("level"),
-        s2f.s2_token(s2f.s2_parent(F.col("cellid"), F.lit(10))).alias("token_l10"),
-        s2f.s2_flip_key(F.col("cellid")).alias("sort_key"),
+        sq.s2_level_sql("cellid").alias("level"),
+        sq.s2_token_sql(sq.s2_parent_sql("cellid", 10)).alias("token_l10"),
+        sq.s2_flip_key_sql("cellid").alias("sort_key"),
     )
 
 
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile roll-up at level 6: pages + langs per cell prefix."""
+    from s2js_spark.spark import sqlkernels as sq
+
     df = encode_cells(_geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull()))
-    parent = s2f.s2_token(s2f.s2_parent(F.col("cellid"), F.lit(6)))
+    parent = sq.s2_token_sql(sq.s2_parent_sql("cellid", 6))
     return (
         df.withColumn("cell_l6", parent)
         .groupBy("cell_l6")

@@ -76,11 +76,25 @@ class R2Rect:
             R2Point(self.x.lo, self.y.hi),
         ]
 
+    def vertex_ij(self, i: int, j: int) -> R2Point:
+        """Vertex at (i,j) of {0=lo,1=hi} x {0=lo,1=hi} (r2/Rect.ts:51)."""
+        return R2Point(
+            self.x.hi if i == 1 else self.x.lo,
+            self.y.hi if j == 1 else self.y.lo,
+        )
+
     def contains_point(self, p: R2Point) -> bool:
         return self.x.contains(p.x) and self.y.contains(p.y)
 
     def intersects(self, o: "R2Rect") -> bool:
         return self.x.intersects(o.x) and self.y.intersects(o.y)
+
+    def intersection(self, o: "R2Rect") -> "R2Rect":
+        xx = self.x.intersection(o.x)
+        yy = self.y.intersection(o.y)
+        if xx.is_empty() or yy.is_empty():
+            return R2Rect.empty()
+        return R2Rect(xx, yy)
 
     def expanded_by_margin(self, margin: float) -> "R2Rect":
         xx = self.x.expanded(margin)

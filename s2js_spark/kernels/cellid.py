@@ -432,6 +432,32 @@ def edge_neighbors(ci) -> np.ndarray:
     )
 
 
+def neighbors_3x3(ci, lvl) -> np.ndarray:
+    """The cell at ``lvl`` containing each ci's leaf position plus its
+    8 same-level neighbors, shape (9,)+ci.shape.
+
+    Every offset goes through ``from_face_ij_wrap`` (the same
+    cube-face-wrap primitive edge_neighbors uses, cellid.ts:388-416),
+    so diagonal cells are exact across face boundaries — unlike
+    composing edge-neighbors of edge-neighbors, whose i/j axes rotate
+    between faces. At the 8 cube corners a diagonal offset lands on an
+    already-included cell; callers dedup per row.
+    """
+    ci = _u64(ci)
+    center = parent(ci, lvl)
+    size = size_ij(lvl)
+    f, i, j, _ = face_ij_orientation(center)
+    rows = [center]
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            rows.append(
+                parent(from_face_ij_wrap(f, i + di * size, j + dj * size), lvl)
+            )
+    return np.stack(rows)
+
+
 def vertex_neighbors(ci, lvl) -> tuple[np.ndarray, np.ndarray]:
     """Vertex neighbors at ``lvl`` (cellid.ts:553-588).
 

@@ -31,21 +31,12 @@ from . import functions as s2f
 
 @F.pandas_udf(ArrayType(LongType()))
 def _neighborhood_cells(lat: pd.Series, lng: pd.Series, level: pd.Series) -> pd.Series:
-    """Cell at ``level`` + all 8 neighbors (vectorized)."""
+    """Cell at ``level`` + all 8 neighbors (vectorized, face-wrap-exact
+    via kernels.cellid.neighbors_3x3; cube-corner duplicates dropped
+    per row)."""
     lvl = int(level.iloc[0])
     leaf = kc.from_latlng_degrees(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
-    center = kc.parent(leaf, lvl)
-    nbrs = kc.edge_neighbors(center)  # (4, n)
-    # vertex-diagonal neighbors: edge neighbors of edge neighbors that
-    # differ; cheaper exact form: all 8 = edge nbrs + edge nbrs of the
-    # up/down neighbors in the left/right direction.
-    up = nbrs[2]
-    down = nbrs[0]
-    up_n = kc.edge_neighbors(up)
-    down_n = kc.edge_neighbors(down)
-    stack = np.stack(
-        [center, nbrs[0], nbrs[1], nbrs[2], nbrs[3], up_n[1], up_n[3], down_n[1], down_n[3]]
-    )
+    stack = kc.neighbors_3x3(leaf, lvl)
     out = kc.to_int64(stack).T  # (n, 9)
     return pd.Series([list(dict.fromkeys(row)) for row in out])
 
@@ -90,21 +81,26 @@ def knn_join(
 
     # Certification: the 3x3 ring at `level` guarantees correctness iff
     # the k-th distance is below the minimum cell width at that level.
+    # topk is tiny (<= k rows per query) — cache it so the
+    # certification count and the final result share one computation.
     min_width = MIN_WIDTH_METRIC.value(level)
     max_certified_chord2 = (2 * math.sin(min(math.pi, min_width) / 2)) ** 2
+    topk = topk.persist()
     per_q = topk.groupBy(query_id).agg(
         F.max("chord2").alias("_kth"), F.count("*").alias("_n")
     )
-    bad = per_q.filter(
-        (F.col("_n") < k) | (F.col("_kth") > F.lit(max_certified_chord2))
+    certified = per_q.filter(
+        (F.col("_n") >= k) & (F.col("_kth") <= F.lit(max_certified_chord2))
     ).select(query_id)
+    # Escalations derive from QUERIES, not from topk: a query whose 3x3
+    # neighborhood holds zero candidates never appears in per_q at all
+    # and must still fall back to brute force.
+    bad_q = queries.join(certified, query_id, "left_anti")
 
-    bad_rows = bad.collect()
-    if not bad_rows:
+    if bad_q.isEmpty():
         return topk
 
     # Escalate the (rare) under-covered queries to brute force.
-    bad_q = queries.join(bad, query_id, "left_semi")
     brute = points.crossJoin(F.broadcast(bad_q))
     brute_topk = (
         brute.withColumn(
@@ -115,7 +111,7 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_id, point_id, "chord2", "rank")
     )
-    good = topk.join(bad, query_id, "left_anti")
+    good = topk.join(F.broadcast(certified), query_id, "left_semi")
     return good.unionByName(brute_topk)
 
 

@@ -15,8 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from . import functions as s2f
-from .tiles import TileSetStruct, tag_tiles
+from .tiles import TileSetStruct
 
 # Decimal-degree geotag in <meta name="geo.position" content="lat;lng">
 # (engine-only op, SURVEY §2.9 input_hint).
@@ -61,11 +60,14 @@ def extract_geotags(df: DataFrame) -> DataFrame:
 
 
 def encode_cells(df: DataFrame) -> DataFrame:
-    """Leaf cell id + token for geotagged rows."""
+    """Leaf cell id + token for geotagged rows (pure-SQL JVM path)."""
+    from . import sqlkernels as sq
+
+    df = sq.with_s2_cellid(df, "lat", "lng", out_col="cellid")
     return df.withColumn(
-        "cellid",
-        F.when(F.col("lat").isNotNull(), s2f.s2_cellid(F.col("lat"), F.col("lng"))),
-    ).withColumn("token", F.when(F.col("cellid").isNotNull(), s2f.s2_token(F.col("cellid"))))
+        "token",
+        F.when(F.col("cellid").isNotNull(), sq.s2_token_sql("cellid")),
+    )
 
 
 def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
@@ -81,20 +83,24 @@ def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFr
 def tag_pipeline(
     spark: SparkSession, pages_df: DataFrame, ts: TileSetStruct
 ) -> DataFrame:
-    """pages -> (url, tile_id, cellid, token, text, lang): the flagship."""
+    """pages -> (url, tile_id, cellid, token, text, lang): the flagship.
+
+    100% JVM: geotag regex, url dedup window, SQL cell encode and the
+    covering broadcast join + SQL refinement (tagjoin) all run inside
+    whole-stage codegen; the only Python is the exact residual check
+    over triage-uncertified polygon lanes (empty on organic data).
+    """
+    from . import sqlkernels as sq
+    from .tagjoin import tag_tiles_pairs
+
     df = extract_geotags(pages_df)
-    df = encode_cells(df)
     df = dedup_latest(df)
-    geo = df.filter(F.col("lat").isNotNull())
-    tagged = tag_tiles(spark, geo, ts)
-    exploded = tagged.select(
-        "url",
-        "cellid",
-        "token",
-        "text",
-        "lang",
-        F.explode("tile_idx").alias("tile_i"),
-    )
+    geo = df.select("url", "lat", "lng", "text", "lang")
+    pairs = tag_tiles_pairs(spark, geo, ts, cellid_col="cellid")
+    out = pairs.withColumn("token", sq.s2_token_sql("cellid"))
     tile_names = [(i, str(t)) for i, t in enumerate(ts.tile_ids)]
     names_df = spark.createDataFrame(tile_names, ["tile_i", "tile_id"])
-    return exploded.join(F.broadcast(names_df), "tile_i").drop("tile_i")
+    return (
+        out.join(F.broadcast(names_df), "tile_i")
+        .select("url", "cellid", "token", "text", "lang", "tile_id")
+    )

@@ -32,10 +32,13 @@ Parity with the NumPy kernel (kernels/cellid.py):
   geometric refinement (tiles.py) makes join answers independent of
   ulp-level leaf placement.
 
-Intermediate values are materialized as named projection columns
-(chained ``withColumn``); Spark >=3.3 CollapseProject keeps non-cheap
-expressions referenced more than once in separate Project nodes, so
-each stage is evaluated exactly once per row inside one codegen span.
+Intermediate values are lateral column aliases inside ONE
+``selectExpr`` (single analysis pass — chained withColumn re-analyzes
+the whole plan per stage, measured at seconds of driver time); the
+analyzer rewrites them to nested Projects and Spark >=3.3
+CollapseProject keeps non-cheap multi-referenced expressions in
+separate nodes, so each stage is evaluated exactly once per row inside
+one codegen span.
 """
 
 from __future__ import annotations
@@ -62,100 +65,129 @@ def _lookup_lit() -> Column:
     return F.lit(_LOOKUP_POS_LIST)
 
 
-# --------------------------------------------------------------- SQL stages
-
-def xyz_cols(lat_deg: Column, lng_deg: Column) -> tuple[Column, Column, Column]:
-    """(lat,lng) degrees -> unit-vector xyz, mirroring
-    kernels/stuv.latlng_to_xyz operation order (multiply-by-constant
-    then cos/sin then products — each step correctly rounded)."""
-    lat_r = lat_deg * F.lit(_D)
-    lng_r = lng_deg * F.lit(_D)
-    cosphi = F.cos(lat_r)
-    return F.cos(lng_r) * cosphi, F.sin(lng_r) * cosphi, F.sin(lat_r)
-
-
-def _face_col(x: Column, y: Column, z: Column) -> Column:
-    """Cube face 0-5 (stuv.ts:176-190 tie-breaks: strict >)."""
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    is_x = (ax > ay) & (ax > az)
-    is_y = (~(ax > ay)) & (ay > az)
-    f = F.when(is_x, F.lit(0)).when(is_y, F.lit(1)).otherwise(F.lit(2))
-    comp = F.when(is_x, x).when(is_y, y).otherwise(z)
-    return F.when(comp < 0, f + 3).otherwise(f).cast("int")
-
-
-def _uv_cols(f: Column, x: Column, y: Column, z: Column) -> tuple[Column, Column]:
-    """Project xyz onto face f -> (u,v) (stuv.ts:196-211)."""
-    u = (
-        F.when(f == 0, y / x)
-        .when(f == 1, -x / y)
-        .when(f == 2, -x / z)
-        .when(f == 3, z / x)
-        .when(f == 4, z / y)
-        .otherwise(-y / z)
-    )
-    v = (
-        F.when(f == 0, z / x)
-        .when(f == 1, z / y)
-        .when(f == 2, -y / z)
-        .when(f == 3, y / x)
-        .when(f == 4, -x / y)
-        .otherwise(-x / z)
-    )
-    return u, v
-
-
-def _uv_to_st(u: Column) -> Column:
-    """Inverse quadratic projection (stuv.ts:167-170)."""
-    pos = F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u)
-    neg = F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u)
-    return F.when(u >= 0.0, pos).otherwise(neg)
-
-
-def _st_to_ij(s: Column) -> Column:
-    """(s,t) -> clamped leaf (i,j) (cellid.ts:321-323)."""
-    v = F.floor(F.lit(float(MAX_SIZE)) * s).cast("long")
-    return F.least(F.greatest(v, F.lit(0)), F.lit(MAX_SIZE - 1))
-
-
 # ----------------------------------------------------------- encode chain
+
+def pushdown_barrier(df: DataFrame, name: str = "_pd_barrier") -> DataFrame:
+    """Append a nondeterministic column that blocks predicate pushdown.
+
+    Catalyst's PushPredicateThroughNonJoin substitutes aliases into any
+    predicate it pushes through a Project. Pushing a predicate through
+    the 14-layer encode chain inlines the whole chain once per layer —
+    a fixed-point blow-up measured in MINUTES of driver CPU on a
+    475-row input. A Project containing one nondeterministic field is
+    ineligible for pushdown (and for CollapseProject), so a cheap
+    rand() column pins the boundary. Callers drop it in their final
+    select — but only AFTER any filter it must protect (dropping
+    earlier re-merges the Projects and removes the barrier).
+    """
+    return df.withColumn(name, F.rand())
+
+
+def _hilbert_exprs(f: str, i: str, j: str, t: str, out_col: str) -> list[str]:
+    """(face,i,j) -> leaf id as lateral-alias SQL text: the exact
+    8-round Hilbert encode (cellid.ts:360-386). ``_lut`` must be a
+    column holding the 1024-entry lookup literal.
+
+    element_at returns the literal array's element type (int); cast to
+    long BEFORE shifting or the shift wraps at 32 bits.
+    """
+    mask = (1 << LOOKUP_BITS) - 1
+    exprs = [
+        f"shiftleft(cast({f} as bigint), {POS_BITS - 1}) AS {t}n8",
+        f"(cast({f} as bigint) & 1) AS {t}b8",
+    ]
+    for k in range(7, -1, -1):
+        key = (
+            f"({t}b{k + 1}"
+            f" + shiftleft(shiftrightunsigned({i}, {k * LOOKUP_BITS}) & {mask},"
+            f" {LOOKUP_BITS + 2})"
+            f" + shiftleft(shiftrightunsigned({j}, {k * LOOKUP_BITS}) & {mask}, 2))"
+        )
+        exprs += [
+            f"cast(element_at(_lut, cast({key} + 1 as int)) as bigint) AS {t}v{k}",
+            f"({t}n{k + 1} | shiftleft(shiftrightunsigned({t}v{k}, 2),"
+            f" {k * 2 * LOOKUP_BITS})) AS {t}n{k}",
+            f"({t}v{k} & 3) AS {t}b{k}",
+        ]
+    exprs.append(f"(shiftleft({t}n0, 1) | 1) AS {out_col}")
+    return exprs
+
+
+def _latlng_exprs(lat: str, lng: str, t: str) -> list[str]:
+    """(lat,lng) degrees -> (face,i,j) as lateral-alias SQL text,
+    mirroring the kernel op order (stuv.ts:158-220)."""
+    return [
+        f"({lat} * {_D!r}D) AS {t}latr",
+        f"({lng} * {_D!r}D) AS {t}lngr",
+        f"cos({t}latr) AS {t}clat",
+        f"(cos({t}lngr) * {t}clat) AS {t}x",
+        f"(sin({t}lngr) * {t}clat) AS {t}y",
+        f"sin({t}latr) AS {t}z",
+        f"abs({t}x) AS {t}ax",
+        f"abs({t}y) AS {t}ay",
+        f"abs({t}z) AS {t}az",
+        f"(({t}ax > {t}ay) AND ({t}ax > {t}az)) AS {t}isx",
+        f"((NOT ({t}ax > {t}ay)) AND ({t}ay > {t}az)) AS {t}isy",
+        f"(CASE WHEN {t}isx THEN {t}x WHEN {t}isy THEN {t}y ELSE {t}z END)"
+        f" AS {t}comp",
+        f"(CASE WHEN {t}isx THEN 0 WHEN {t}isy THEN 1 ELSE 2 END"
+        f" + CASE WHEN {t}comp < 0.0D THEN 3 ELSE 0 END) AS {t}f",
+        f"(CASE WHEN {t}f = 0 THEN {t}y / {t}x"
+        f" WHEN {t}f = 1 THEN -{t}x / {t}y"
+        f" WHEN {t}f = 2 THEN -{t}x / {t}z"
+        f" WHEN {t}f = 3 THEN {t}z / {t}x"
+        f" WHEN {t}f = 4 THEN {t}z / {t}y"
+        f" ELSE -{t}y / {t}z END) AS {t}u",
+        f"(CASE WHEN {t}f = 0 THEN {t}z / {t}x"
+        f" WHEN {t}f = 1 THEN {t}z / {t}y"
+        f" WHEN {t}f = 2 THEN -{t}y / {t}z"
+        f" WHEN {t}f = 3 THEN {t}y / {t}x"
+        f" WHEN {t}f = 4 THEN -{t}x / {t}y"
+        f" ELSE -{t}x / {t}z END) AS {t}v",
+        f"(CASE WHEN {t}u >= 0.0D THEN 0.5D * sqrt(1.0D + 3.0D * {t}u)"
+        f" ELSE 1.0D - 0.5D * sqrt(1.0D - 3.0D * {t}u) END) AS {t}s",
+        f"(CASE WHEN {t}v >= 0.0D THEN 0.5D * sqrt(1.0D + 3.0D * {t}v)"
+        f" ELSE 1.0D - 0.5D * sqrt(1.0D - 3.0D * {t}v) END) AS {t}t",
+        f"least(greatest(cast(floor({float(MAX_SIZE)!r}D * {t}s) as bigint), 0L),"
+        f" {MAX_SIZE - 1}L) AS {t}i",
+        f"least(greatest(cast(floor({float(MAX_SIZE)!r}D * {t}t) as bigint), 0L),"
+        f" {MAX_SIZE - 1}L) AS {t}j",
+    ]
+
 
 def with_s2_cellid(
     df: DataFrame,
     lat_col: str = "lat",
     lng_col: str = "lng",
     out_col: str = "cellid",
+    assume_nonnull: bool = False,
 ) -> DataFrame:
     """Append the leaf S2 cell id (raw uint64 bits in a LongType column)
     computed entirely JVM-side.
 
-    Null lat/lng rows get a null cell id. Stage columns are chained
-    ``withColumn`` projections so each is computed once per row.
+    Null lat/lng rows get a null cell id (``assume_nonnull`` skips the
+    null guard; callers that pre-filter on the base columns should set
+    it — filtering on the OUTPUT column instead triggers the pushdown
+    blow-up described in ``pushdown_barrier``).
+
+    The whole chain is ONE ``selectExpr`` of lateral column aliases:
+    a single analysis pass (chained withColumn re-analyzes the full
+    plan per stage — measured seconds of driver time per query), while
+    the analyzer still rewrites it into nested Projects so every stage
+    is evaluated exactly once per row inside one codegen span.
     """
     t = "_s2sql_"
-    lat = F.col(lat_col)
-    lng = F.col(lng_col)
-    x, y, z = xyz_cols(lat, lng)
-    df = df.withColumn(f"{t}x", x).withColumn(f"{t}y", y).withColumn(f"{t}z", z)
-    xc, yc, zc = F.col(f"{t}x"), F.col(f"{t}y"), F.col(f"{t}z")
-    df = df.withColumn(f"{t}f", _face_col(xc, yc, zc))
-    fc = F.col(f"{t}f")
-    u, v = _uv_cols(fc, xc, yc, zc)
-    df = df.withColumn(f"{t}u", u).withColumn(f"{t}v", v)
-    df = df.withColumn(f"{t}s", _uv_to_st(F.col(f"{t}u"))).withColumn(
-        f"{t}t", _uv_to_st(F.col(f"{t}v"))
+    exprs = _latlng_exprs(lat_col, lng_col, t) + _hilbert_exprs(
+        f"{t}f", f"{t}i", f"{t}j", t, out_col
     )
-    df = df.withColumn(f"{t}i", _st_to_ij(F.col(f"{t}s"))).withColumn(
-        f"{t}j", _st_to_ij(F.col(f"{t}t"))
-    )
-    df = with_s2_cellid_from_face_ij(
-        df, f"{t}f", f"{t}i", f"{t}j", out_col=out_col
-    )
-    keep_null = F.when(
-        lat.isNotNull() & lng.isNotNull(), F.col(out_col)
-    )
-    df = df.withColumn(out_col, keep_null)
-    return df.drop(*[c for c in df.columns if c.startswith(t)])
+    out = df.withColumn("_lut", _lookup_lit()).selectExpr("*", *exprs)
+    if not assume_nonnull:
+        keep_null = F.when(
+            F.col(lat_col).isNotNull() & F.col(lng_col).isNotNull(),
+            F.col(out_col),
+        )
+        out = out.withColumn(out_col, keep_null)
+    return out.select(*df.columns, out_col)
 
 
 def with_s2_cellid_from_face_ij(
@@ -165,43 +197,9 @@ def with_s2_cellid_from_face_ij(
     (cellid.ts:360-386) in pure bitwise SQL. Bit-for-bit equal to
     kernels/cellid.from_face_ij (proven exhaustively in tests)."""
     t = "_s2hil_"
-    lut = _lookup_lit()
-    mask = (1 << LOOKUP_BITS) - 1
-
-    fc = F.col(f_col).cast("long")
-    df = df.withColumn(f"{t}n", F.shiftleft(fc, POS_BITS - 1))
-    df = df.withColumn(f"{t}b", fc.bitwiseAND(F.lit(1)))
-
-    for k in range(7, -1, -1):
-        i_nib = F.shiftrightunsigned(F.col(i_col), k * LOOKUP_BITS).bitwiseAND(
-            F.lit(mask)
-        )
-        j_nib = F.shiftrightunsigned(F.col(j_col), k * LOOKUP_BITS).bitwiseAND(
-            F.lit(mask)
-        )
-        key = (
-            F.col(f"{t}b")
-            + F.shiftleft(i_nib, LOOKUP_BITS + 2)
-            + F.shiftleft(j_nib, 2)
-        )
-        # element_at returns the literal array's element type (int);
-        # cast to long BEFORE shifting or the shift wraps at 32 bits.
-        df = df.withColumn(
-            f"{t}v", F.element_at(lut, (key + 1).cast("int")).cast("long")
-        )
-        vc = F.col(f"{t}v")
-        df = df.withColumn(
-            f"{t}n",
-            F.col(f"{t}n").bitwiseOR(
-                F.shiftleft(F.shiftrightunsigned(vc, 2), k * 2 * LOOKUP_BITS)
-            ),
-        )
-        df = df.withColumn(f"{t}b", vc.bitwiseAND(F.lit(3)))
-
-    df = df.withColumn(
-        out_col, F.shiftleft(F.col(f"{t}n"), 1).bitwiseOR(F.lit(1))
-    )
-    return df.drop(f"{t}n", f"{t}b", f"{t}v")
+    exprs = _hilbert_exprs(f_col, i_col, j_col, t, out_col)
+    out = df.withColumn("_lut", _lookup_lit()).selectExpr("*", *exprs)
+    return out.select(*df.columns, out_col)
 
 
 # ------------------------------------------------------- hierarchy columns

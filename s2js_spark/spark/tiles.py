@@ -76,6 +76,10 @@ class TileSetStruct:
     cap_r2: np.ndarray  # float64 [ntiles]
     # driver-side shapes for exact-fallback lanes
     shapes: list = field(default_factory=list)
+    # raw covering cells (for the JVM broadcast-join path)
+    cov_cell: np.ndarray = None  # uint64 [ncov]
+    cov_tile: np.ndarray = None  # int32 [ncov]
+    cov_interior: np.ndarray = None  # bool [ncov]
 
 
 def _origin_xyz() -> tuple[float, float, float]:
@@ -96,6 +100,7 @@ def build_tileset(
     coverer = GeoJSONRegionCoverer(max_cells=max_cells)
 
     intervals: list[tuple[int, int, int, bool]] = []  # lo, hi, tile, interior
+    cov_cells: list[tuple[int, int, bool]] = []  # cell, tile, interior
     tile_ids = []
     kinds = []
     shapes = []
@@ -126,6 +131,7 @@ def build_tileset(
         for c in covering:
             is_int = bool(region.contains_cell(_Cell.from_cellid(c)))
             intervals.append((cs.range_min(c), cs.range_max(c), idx, is_int))
+            cov_cells.append((int(c), idx, is_int))
 
         if isinstance(shape, Polygon):
             kinds.append(KIND_POLYGON)
@@ -215,6 +221,9 @@ def build_tileset(
         cap_center=np.array(cap_center, dtype=np.float64),
         cap_r2=np.array(cap_r2, dtype=np.float64),
         shapes=shapes,
+        cov_cell=np.array([c for c, _, _ in cov_cells], dtype=np.uint64),
+        cov_tile=np.array([t for _, t, _ in cov_cells], dtype=np.int32),
+        cov_interior=np.array([i for _, _, i in cov_cells], dtype=bool),
     )
 
 
@@ -389,6 +398,19 @@ def refine_candidates(
     return doc_idx[keep], tile[keep]
 
 
+def _group_tiles_by_doc(n_docs: int, doc_idx: np.ndarray, tile: np.ndarray) -> list:
+    """Vectorized (doc_idx, tile) pairs -> per-doc tile lists.
+
+    np.bincount + np.split instead of a per-candidate Python loop;
+    candidates arrive sorted by doc (np.repeat order is preserved
+    through the boolean-mask filter in refine_candidates).
+    """
+    if len(doc_idx) == 0:
+        return [[] for _ in range(n_docs)]
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    return [a.tolist() for a in np.split(tile.astype(np.int32), np.cumsum(counts)[:-1])]
+
+
 # ------------------------------------------------------------- DataFrame API
 
 def tag_tiles(
@@ -413,10 +435,7 @@ def tag_tiles(
         leaf = kc.from_latlng_degrees(lat_np, lng_np)
         doc_idx, tile, interior = candidates_for_leaves(t, leaf)
         doc_idx, tile = refine_candidates(t, doc_idx, tile, interior, lat_np, lng_np)
-        out = [[] for _ in range(len(lat_np))]
-        for di, ti in zip(doc_idx, tile):
-            out[di].append(int(ti))
-        return pd.Series(out)
+        return pd.Series(_group_tiles_by_doc(len(lat_np), doc_idx, tile))
 
     return df.withColumn("tile_idx", _tag(F.col(lat_col), F.col(lng_col)))
 
@@ -449,9 +468,7 @@ def tag_and_encode(
         leaf = kc.from_latlng_degrees(lat_np, lng_np)
         doc_idx, tile, interior = candidates_for_leaves(t, leaf)
         doc_idx, tile = refine_candidates(t, doc_idx, tile, interior, lat_np, lng_np)
-        tiles = [[] for _ in range(len(lat_np))]
-        for di, ti in zip(doc_idx, tile):
-            tiles[di].append(int(ti))
+        tiles = _group_tiles_by_doc(len(lat_np), doc_idx, tile)
         # NOTE: no token column here — hex formatting is a per-row
         # Python loop and belongs on the (small) output side, not the
         # 10^12-row hot path.
