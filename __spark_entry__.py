@@ -92,6 +92,17 @@ KNN_K = 3
 
 _PAGES_CTE = f"WITH pages AS ({PAGES_SQL})"
 
+# Tile sets are deterministic module constants; building a covering is
+# ~0.5s of driver time, so memoize per query shape.
+_TS_CACHE: dict = {}
+
+
+def _tileset(name: str, tiles, max_cells: int):
+    key = (name, max_cells)
+    if key not in _TS_CACHE:
+        _TS_CACHE[key] = build_tileset(tiles, max_cells=max_cells)
+    return _TS_CACHE[key]
+
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages(spark, sf_dir)
@@ -109,7 +120,7 @@ def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> geotags -> cells -> dedup -> tile join (sf0.001)."""
     sf_dir = "/root/testdata/sf0.001"
-    ts = build_tileset(PIP_TILES + RECT_TILES + CAP_TILES, max_cells=64)
+    ts = _tileset("all", PIP_TILES + RECT_TILES + CAP_TILES, 64)
     return tag_pipeline(spark, _pages(spark, sf_dir), ts)
 
 
@@ -136,7 +147,7 @@ def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rect_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
-    ts = build_tileset(RECT_TILES, max_cells=32)
+    ts = _tileset("rect", RECT_TILES, 32)
     pairs = tag_tiles_pairs(spark, df, ts)
     names = spark.createDataFrame(
         [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
@@ -146,7 +157,7 @@ def _q_rect_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
-    ts = build_tileset(PIP_TILES, max_cells=64)
+    ts = _tileset("pip", PIP_TILES, 64)
     pairs = tag_tiles_pairs(spark, df, ts)
     names = spark.createDataFrame(
         [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
@@ -156,7 +167,7 @@ def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cap_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
-    ts = build_tileset(CAP_TILES, max_cells=32)
+    ts = _tileset("cap", CAP_TILES, 32)
     pairs = tag_tiles_pairs(spark, df, ts)
     return pairs.select("url", F.lit("cap_c12").alias("tile_id"))
 
@@ -194,24 +205,22 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k nearest geotagged pages per query point (chord^2 metric)."""
+    """k nearest geotagged pages per query point (chord^2 metric).
+
+    Uses the SCALE path (joins.knn_join): cell-neighborhood equi-join
+    with certified brute-force escalation — provably identical to the
+    brute-force oracle, but linear at 100 TB instead of all-pairs."""
+    from s2js_spark.spark.joins import knn_join
+
     df = dedup_latest(_geo_pages(spark, sf_dir)).filter(F.col("lat").isNotNull())
+    pts = df.select(F.col("url").alias("id"), "lat", "lng")
     q = spark.createDataFrame(KNN_QUERIES, ["query_id", "qlat", "qlng"])
-    joined = df.crossJoin(F.broadcast(q))
-    chord2 = F.round(
-        s2f.s2_chord2(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")), 12
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("chord2"), F.col("url"))
-    return (
-        joined.withColumn("chord2", chord2)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            "url",
-            F.col("rank").cast("long").alias("rank"),
-            "chord2",
-        )
+    out = knn_join(spark, pts, q, k=KNN_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").alias("url"),
+        F.col("rank").cast("long").alias("rank"),
+        "chord2",
     )
 
 
@@ -225,6 +234,21 @@ def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = textops.minhash_dedup_groups(df, bands=4, num_hashes=8, k=8)
     return groups.select(
         F.col("band").cast("long").alias("band"), "band_sig", "url"
+    )
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup decisions: connected components over LSH
+    candidate buckets (min-label propagation), (url, rep, keep)."""
+    df = dedup_latest(_pages(spark, sf_dir))
+    return textops.minhash_dedup(df, bands=4, num_hashes=8, k=8)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash fingerprint (16-bit engine variant)."""
+    df = _pages(spark, sf_dir)
+    return df.select(
+        "url", textops.simhash64("text", k=4).alias("simhash")
     )
 
 
@@ -290,7 +314,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    out = lsh_topk(spark, emb, queries, k=5, num_planes=8)
+    out = lsh_topk(spark, emb, queries, k=5, num_planes=36, bands=12)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -355,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -377,6 +403,20 @@ def _xyz_sql(lat_expr: str, lng_expr: str) -> tuple[str, str, str]:
         f"cos(radians({lat_expr})) * sin(radians({lng_expr}))",
         f"sin(radians({lat_expr}))",
     )
+
+
+def _lsh_sig_duckdb(vec_col: str, num_planes: int) -> str:
+    """DuckDB twin of similarity.lsh_signature_expr (same fixed
+    pseudo-random plane weights, same sign rule)."""
+    bits = []
+    for p in range(num_planes):
+        proj = (
+            f"list_dot_product(CAST({vec_col} AS DOUBLE[]),"
+            f" list_transform(generate_series(1, len({vec_col})),"
+            f" d -> CAST((({p + 1} * 2654435761 * d) % 1000003) - 501501 AS DOUBLE)))"
+        )
+        bits.append(f"CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
 
 
 def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
@@ -504,6 +544,49 @@ def oracle_sql() -> dict[str, str]:
               FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b))
             SELECT band, band_sig, url FROM bands
             QUALIFY count(*) OVER (PARTITION BY band, band_sig) > 1""",
+        "minhash_dedup": f"""WITH RECURSIVE pages AS ({PAGES_SQL}),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY url
+                    ORDER BY warc_ts_sec DESC, doc_id DESC) AS rn FROM pages)
+              WHERE rn = 1),
+            digests AS (SELECT url,
+              list_transform({shing}, s -> md5('salt0:' || s)) AS d0,
+              list_transform({shing}, s -> md5('salt1:' || s)) AS d1
+              FROM dedup),
+            sigs AS (SELECT url, [{minhash}] AS sig FROM digests),
+            bands AS (
+              SELECT url, b AS band,
+                array_to_string(sig[b * 2 + 1 : b * 2 + 2], '|') AS band_sig
+              FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+            cand AS (
+              SELECT band, band_sig, url FROM bands
+              QUALIFY count(*) OVER (PARTITION BY band, band_sig) > 1),
+            brep AS (
+              SELECT band, band_sig, min(url) AS rep FROM cand GROUP BY 1, 2),
+            star AS (
+              SELECT DISTINCT c.url AS a, r.rep AS b
+              FROM cand c JOIN brep r USING (band, band_sig)
+              WHERE c.url != r.rep),
+            edges AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+            reach AS (
+              SELECT url AS src, url AS dst FROM dedup
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+            SELECT src AS url, min(dst) AS rep,
+              CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM reach GROUP BY src""",
+        "simhash": f"""{_PAGES_CTE},
+            h AS (SELECT url,
+              list_transform(
+                list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, i, 4)),
+                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM pages)
+            SELECT url, ({' + '.join(
+                f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+                for j in range(16)
+            )})::BIGINT AS simhash FROM h""",
         "quality": f"""{_PAGES_CTE}
             SELECT url,
               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -558,7 +641,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY sim DESC, vec_id) AS rank FROM sims)
             WHERE rank <= 5""",
-        # ann_lsh: bucketing layout is engine-defined -> rows-only.
+        "ann_lsh": f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding,
+                ({_lsh_sig_duckdb('embedding', 36)}) AS sig
+              FROM embeddings),
+            vbands AS (
+              SELECT vec_id, embedding,
+                CAST(b AS STRING) || ':' || substr(sig, b * 3 + 1, 3) AS bucket
+              FROM sigs, (SELECT unnest(generate_series(0, 11)) AS b)),
+            q AS (SELECT vec_id AS query_id, embedding AS query_vec, bucket
+                  FROM vbands WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT p.query_id, s.vec_id, s.embedding, p.query_vec
+              FROM vbands s JOIN q p ON s.bucket = p.bucket),
+            sims AS (
+              SELECT query_id, vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(query_vec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(query_vec AS DOUBLE[]), CAST(query_vec AS DOUBLE[])))), 9)
+                  AS sim
+              FROM cand)
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS rank FROM sims)
+            WHERE rank <= 5""",
         "media_features": """
             SELECT doc_id AS media_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -158,3 +158,147 @@ def edge_or_vertex_crossing(a: Point, b: Point, c: Point, d: Point) -> bool:
     if s == CROSS:
         return True
     return vertex_crossing(a, b, c, d)
+
+
+# ----------------------------------------------------- intersection point
+# Port of /root/reference/s2/edge_crossings.ts:107-242: the stable ->
+# exact ladder producing the crossing point of two edges.
+
+DBL_ERROR = 1.110223024625156e-16
+# NOTE: the reference's EPSILON (predicates.ts:19) EXCEEDS
+# INTERSECTION_ERROR, so intersectionStable's acceptance threshold
+# (maxError - EPSILON) is negative and the stable rung never
+# certifies — every intersection() escalates to the exact-rational
+# rung (the C++ original subtracts the type rounding error DBL_ERR
+# instead). Ported faithfully; see tests/test_intersection.py.
+EPSILON = 1e-15
+INTERSECTION_ERROR = 8 * DBL_ERROR  # edge_crossings.ts:7
+INTERSECTION_MERGE_RADIUS = 2 * INTERSECTION_ERROR
+
+
+def robust_normal_with_length(x: Point, y: Point) -> tuple[Point, float]:
+    """Unit normal of the plane through x,y plus the pre-normalization
+    length (error proxy); (x-y)x(x+y) = 2 x*y but with less
+    cancellation (edge_crossings.ts:133-140)."""
+    tmp = x.sub(y).cross(x.add(y))
+    length = tmp.norm()
+    if length != 0.0:
+        return tmp.mul(1.0 / length), 0.5 * length
+    return Point(0, 0, 0), 0.5 * length
+
+
+def projection(x: Point, a_norm: Point, a_norm_len: float, a0: Point, a1: Point) -> tuple[float, float]:
+    """(x . aNorm, error bound), computed from the nearer edge endpoint
+    for accuracy (edge_crossings.ts:149-167)."""
+    x0 = x.sub(a0)
+    x1 = x.sub(a1)
+    x0_dist2 = x0.norm2()
+    x1_dist2 = x1.norm2()
+    if x0_dist2 < x1_dist2 or (x0_dist2 == x1_dist2 and x0.cmp(x1) == -1):
+        dist = math.sqrt(x0_dist2)
+        proj = x0.dot(a_norm)
+    else:
+        dist = math.sqrt(x1_dist2)
+        proj = x1.dot(a_norm)
+    bound = (
+        ((3.5 + 2 * math.sqrt(3)) * a_norm_len + 32 * math.sqrt(3) * DBL_ERROR)
+        * dist
+        + 1.5 * abs(proj)
+    ) * EPSILON
+    return proj, bound
+
+
+def compare_edges(a0: Point, a1: Point, b0: Point, b1: Point) -> bool:
+    """(a0,a1) < (b0,b1) under a reversal-invariant total order
+    (edge_crossings.ts:172-176)."""
+    if a0.cmp(a1) != -1:
+        a0, a1 = a1, a0
+    if b0.cmp(b1) != -1:
+        b0, b1 = b1, b0
+    return a0.cmp(b0) == -1 or (a0.equals(b0) and b0.cmp(b1) == -1)
+
+
+def intersection_stable(a0: Point, a1: Point, b0: Point, b1: Point) -> tuple[Point, bool]:
+    """Double-precision intersection attempt; False if the certified
+    error exceeds INTERSECTION_ERROR (edge_crossings.ts:183-190)."""
+    a_len2 = a1.sub(a0).norm2()
+    b_len2 = b1.sub(b0).norm2()
+    if a_len2 < b_len2 or (a_len2 == b_len2 and compare_edges(a0, a1, b0, b1)):
+        return _intersection_stable_sorted(b0, b1, a0, a1)
+    return _intersection_stable_sorted(a0, a1, b0, b1)
+
+
+def _intersection_stable_sorted(a0: Point, a1: Point, b0: Point, b1: Point) -> tuple[Point, bool]:
+    """Expects the first edge to be the longer one
+    (edge_crossings.ts:195-215)."""
+    a_norm = a0.sub(a1).cross(a0.add(a1))
+    a_norm_len = a_norm.norm()
+    b_len = b1.sub(b0).norm()
+
+    b0_dist, b0_error = projection(b0, a_norm, a_norm_len, a0, a1)
+    b1_dist, b1_error = projection(b1, a_norm, a_norm_len, a0, a1)
+
+    dist_sum = abs(b0_dist - b1_dist)
+    error_sum = b0_error + b1_error
+    if dist_sum <= error_sum:
+        return Point(0, 0, 0), False
+
+    x = b1.mul(b0_dist).sub(b0.mul(b1_dist))
+    err = (
+        b_len * abs(b0_dist * b1_error - b1_dist * b0_error) / (dist_sum - error_sum)
+        + 2 * dist_sum * EPSILON
+    )
+    x_len = x.norm()
+    if err > (INTERSECTION_ERROR - EPSILON) * x_len:
+        return Point(0, 0, 0), False
+    return x.mul(1.0 / x_len), True
+
+
+def intersection_exact(a0: Point, a1: Point, b0: Point, b1: Point) -> Point:
+    """Exact-rational intersection, rounded to double at the end; sign
+    not guaranteed (edge_crossings.ts:222-242). Fraction plays the
+    reference's PreciseVector."""
+    from fractions import Fraction as Fr
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    a0p = (Fr(a0.x), Fr(a0.y), Fr(a0.z))
+    a1p = (Fr(a1.x), Fr(a1.y), Fr(a1.z))
+    b0p = (Fr(b0.x), Fr(b0.y), Fr(b0.z))
+    b1p = (Fr(b1.x), Fr(b1.y), Fr(b1.z))
+    a_norm_p = cross(a0p, a1p)
+    b_norm_p = cross(b0p, b1p)
+    xp = cross(a_norm_p, b_norm_p)
+
+    x = Point(float(xp[0]), float(xp[1]), float(xp[2])).normalize()
+    if x.equals(Point(0, 0, 0)):
+        # The edges are exactly collinear: return the appropriate
+        # shared/interior vertex (ts:230-240).
+        y = Point(10, 10, 10)
+        a_norm = Point(*(float(v) for v in a_norm_p)).normalize()
+        b_norm = Point(*(float(v) for v in b_norm_p)).normalize()
+        if ordered_ccw(b0, a0, b1, b_norm) and a0.cmp(y) == -1:
+            return a0
+        if ordered_ccw(b0, a1, b1, b_norm) and a1.cmp(y) == -1:
+            return a1
+        if ordered_ccw(a0, b0, a1, a_norm) and b0.cmp(y) == -1:
+            return b0
+        if ordered_ccw(a0, b1, a1, a_norm) and b1.cmp(y) == -1:
+            return b1
+    return x
+
+
+def intersection(a0: Point, a1: Point, b0: Point, b1: Point) -> Point:
+    """Crossing point of AB x CD, within INTERSECTION_ERROR of the true
+    point even at tiny crossing angles (edge_crossings.ts:116-128)."""
+    pt, ok = intersection_stable(a0, a1, b0, b1)
+    if not ok:
+        pt = intersection_exact(a0, a1, b0, b1)
+    if pt.dot(a0.add(a1).add(b0.add(b1))) < 0:
+        pt = pt.mul(-1)
+    return pt

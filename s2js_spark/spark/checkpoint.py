@@ -65,6 +65,20 @@ def completed_buckets(path: str, stage: str, input_fingerprint: str) -> set[int]
     }
 
 
+def _bucket_row_count(path: str, bucket: int) -> int:
+    """Row count of a written bucket from parquet FOOTERS only (pure
+    driver-side metadata read — no Spark job, no data scan)."""
+    import pyarrow.parquet as pq
+
+    bucket_dir = os.path.join(path, f"bucket={bucket}")
+    total = 0
+    for root, _dirs, files in os.walk(bucket_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def resumable_write(
     df: DataFrame,
     path: str,
@@ -76,24 +90,42 @@ def resumable_write(
 ) -> WriteReport:
     """Write df to ``path`` partitioned by hash bucket, resumably.
 
-    ``fail_after_bucket`` injects a crash for tests. Buckets already in
-    the manifest for this (stage, input_fingerprint) are not recomputed.
+    ONE pass over the input: pending buckets (not in the manifest for
+    this (stage, input_fingerprint)) are written by a single
+    ``partitionBy`` job with dynamic partition overwrite — a crashed
+    attempt's partial bucket files are replaced wholesale on resume,
+    completed buckets are never touched. Row counts come from the
+    written files' parquet footers (driver-side metadata read), so the
+    manifest reflects exactly the persisted data and the input is
+    never recomputed — at 100 TB the round-1 per-bucket loop cost
+    2 x n_buckets full scans; this costs one.
+
+    ``fail_after_bucket`` injects a crash for tests: the data job
+    completes but manifest rows are recorded only for buckets <= the
+    given bucket, simulating dying between commit and bookkeeping.
     """
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
-    )
     done = completed_buckets(path, stage, input_fingerprint)
-    written, skipped = [], []
+    pending = [b for b in range(n_buckets) if b not in done]
+    skipped = sorted(done)
+    if not pending:
+        return WriteReport(stage, input_fingerprint, [], skipped, 0)
+
+    t0 = time.time()
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    ).filter(F.col("bucket").isin(pending))
+    (
+        bucketed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    wall = round(time.time() - t0, 3)
+
+    written: list[int] = []
     total_rows = 0
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        t0 = time.time()
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        out_dir = os.path.join(path, f"bucket={b}")
-        part.write.mode("overwrite").parquet(out_dir)
-        n = part.count()
+    for b in pending:
+        n = _bucket_row_count(path, b)
         _append_manifest(
             path,
             {
@@ -101,7 +133,7 @@ def resumable_write(
                 "input_fingerprint": input_fingerprint,
                 "bucket": b,
                 "row_count": n,
-                "wall_sec": round(time.time() - t0, 3),
+                "wall_sec": wall,
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             },
         )

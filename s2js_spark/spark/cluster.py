@@ -131,6 +131,13 @@ class StandaloneCluster:
             .config("spark.executor.cores", str(executor_cores))
             .config("spark.executor.memory", executor_mem)
             .config("spark.cores.max", str(total))
+            # the FIRST SparkSession in a python process launches the
+            # shared driver JVM; size its heap here or every later
+            # local[k] session in the same process inherits the 1g
+            # default and OOMs
+            .config(
+                "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+            )
             .config("spark.submit.pyFiles", pyzip)
             .config("spark.executorEnv.PYTHONPATH", pyzip)
             .config("spark.sql.shuffle.partitions", str(total * 2))

@@ -198,5 +198,81 @@ def _union_normalize_udf():
 
 s2_cell_union_normalize = _union_normalize_udf()
 
+def _predicate_udfs():
+    """Standalone registered geometry predicates (SURVEY §2.13).
+
+    The fused tag kernels (tagjoin/tiles) are the hot path; these are
+    the per-row SQL API surface. Geometry params arrive as plain
+    columns so the functions compose in any SQL expression; the
+    polygon variant parses GeoJSON once per distinct string per batch.
+    """
+    import json as _json
+    import math as _math
+
+    from ..geometry.geojson import from_geojson
+    from ..geometry.point import Point as _Pt
+    from ..kernels import stuv as _stuv
+
+    d = _math.pi / 180.0
+
+    @F.pandas_udf(BooleanType())
+    def s2_point_in_polygon(lat: pd.Series, lng: pd.Series, geojson: pd.Series) -> pd.Series:
+        shapes: dict[str, object] = {}
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(np.float64) * d
+        ln = lng.to_numpy(np.float64) * d
+        for n, gj in enumerate(geojson):
+            shape = shapes.get(gj)
+            if shape is None:
+                shape = shapes[gj] = from_geojson(_json.loads(gj))
+            out[n] = bool(
+                shape.contains_point(_Pt.from_latlng_radians(la[n], ln[n]))
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf(BooleanType())
+    def s2_rect_contains(
+        lat: pd.Series, lng: pd.Series,
+        lat_lo: pd.Series, lat_hi: pd.Series,
+        lng_lo: pd.Series, lng_hi: pd.Series,
+    ) -> pd.Series:
+        la = lat.to_numpy(np.float64) * d
+        ln = lng.to_numpy(np.float64) * d
+        lo = lat_lo.to_numpy(np.float64) * d
+        hi = lat_hi.to_numpy(np.float64) * d
+        glo = lng_lo.to_numpy(np.float64) * d
+        ghi = lng_hi.to_numpy(np.float64) * d
+        ok_lat = (la >= lo) & (la <= hi)
+        l = np.where(ln == -np.pi, np.pi, ln)
+        inverted = glo > ghi
+        ok_lng = np.where(
+            inverted, (l >= glo) | (l <= ghi), (l >= glo) & (l <= ghi)
+        )
+        return pd.Series(ok_lat & ok_lng)
+
+    @F.pandas_udf(BooleanType())
+    def s2_cap_contains(
+        lat: pd.Series, lng: pd.Series,
+        clat: pd.Series, clng: pd.Series, radius_deg: pd.Series,
+    ) -> pd.Series:
+        px, py, pz = _stuv.latlng_to_xyz(
+            lat.to_numpy(np.float64) * d, lng.to_numpy(np.float64) * d
+        )
+        cx, cy, cz = _stuv.latlng_to_xyz(
+            clat.to_numpy(np.float64) * d, clng.to_numpy(np.float64) * d
+        )
+        dx, dy, dz = px - cx, py - cy, pz - cz
+        chord2 = np.minimum(4.0, dx * dx + dy * dy + dz * dz)
+        r2 = (2 * np.sin(np.minimum(np.pi, radius_deg.to_numpy(np.float64) * d) / 2)) ** 2
+        return pd.Series(chord2 <= r2)
+
+    return s2_point_in_polygon, s2_rect_contains, s2_cap_contains
+
+
+s2_point_in_polygon, s2_rect_contains, s2_cap_contains = _predicate_udfs()
+
 _ALL["s2_cover"] = s2_cover
 _ALL["s2_cell_union_normalize"] = s2_cell_union_normalize
+_ALL["s2_point_in_polygon"] = s2_point_in_polygon
+_ALL["s2_rect_contains"] = s2_rect_contains
+_ALL["s2_cap_contains"] = s2_cap_contains

@@ -72,29 +72,90 @@ def lsh_signature_expr(vec_col: str, num_planes: int = 16) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _band_keys(sig, rows_per_band: int, bands: int, multiprobe: bool):
+    """Bucket keys "<band>:<bits>" for each band of the signature;
+    with ``multiprobe``, each band also probes its rows_per_band
+    Hamming-distance-1 variants (flip one bit per probe)."""
+    keys = []
+    for b in range(bands):
+        bits = F.substring(sig, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.concat(F.lit(f"{b}:"), bits))
+        if multiprobe:
+            for p in range(rows_per_band):
+                bit = F.substring(sig, b * rows_per_band + p + 1, 1)
+                flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+                keys.append(
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring(sig, b * rows_per_band + 1, p),
+                        flipped,
+                        F.substring(
+                            sig, b * rows_per_band + p + 2, rows_per_band - p - 1
+                        ),
+                    )
+                )
+    return F.array(*keys)
+
+
 def lsh_topk(
     spark: SparkSession,
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 12,
+    num_planes: int = 36,
+    bands: int = 12,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, rank within bucket.
+    """Approximate top-k via BANDED hyperplane LSH (OR-amplification).
 
-    At scale this is a plain hash join on a low-cardinality-per-bucket
-    key; multiprobe (flipping one bit) widens recall.
+    The num_planes sign bits split into ``bands`` bands of r =
+    num_planes/bands bits; a vector/query pair becomes a candidate if
+    ANY band matches exactly (recall 1-(1-p^r)^L for bit-agreement
+    probability p = 1 - angle/pi). Each side emits ``bands`` rows and
+    the join is a plain equi-join on the band key — linear, prunable,
+    skew-handled by AQE. Optional per-band 1-bit multiprobe widens
+    recall further at ~r x probe cost. A pair can match several bands,
+    so candidates dedup on (query, vector) before ranking.
+
+    Measured recall@5 >= 0.9 vs brute force on the synthetic
+    embeddings (tests/test_similarity_recall.py) — which are
+    near-random, the LSH worst case; clustered real embeddings sit at
+    higher p where the same configuration prunes far harder.
     """
-    v = vectors.withColumn("bucket", F.expr(lsh_signature_expr(vec_col, num_planes)))
-    q = queries.withColumn("bucket", F.expr(lsh_signature_expr(query_vec_col, num_planes)))
+    rows_per_band = num_planes // bands
+    v_sig = F.expr(lsh_signature_expr(vec_col, num_planes))
+    q_sig = F.expr(lsh_signature_expr(query_vec_col, num_planes))
+    v = (
+        vectors.withColumn("_sig", v_sig)
+        .withColumn(
+            "bucket", F.explode(_band_keys(F.col("_sig"), rows_per_band, bands, False))
+        )
+        .drop("_sig")
+    )
+    q = (
+        queries.withColumn("_sig", q_sig)
+        .withColumn(
+            "bucket",
+            F.explode(_band_keys(F.col("_sig"), rows_per_band, bands, multiprobe)),
+        )
+        .drop("_sig")
+    )
     joined = v.join(F.broadcast(q), "bucket")
+    # dedup pairs that matched in multiple bands
+    w_dedup = Window.partitionBy(query_id_col, id_col).orderBy("bucket")
+    cand = (
+        joined.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "bucket")
+    )
     sim = F.expr(cosine_expr(vec_col, query_vec_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        joined.withColumn("sim", sim)
+        cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")

@@ -157,6 +157,86 @@ def minhash_dedup_groups(
     )
 
 
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", key_col: str = "url",
+    k: int = 8, num_hashes: int = 8, bands: int = 4, max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup dedup DECISIONS: (key, rep, keep) for every input row.
+
+    Connected components over the LSH candidate graph, computed with
+    DataFrames only (no driver-side graph):
+
+    - candidate buckets from ``minhash_dedup_groups`` become STAR
+      edges (member -> bucket-min member): linear in bucket sizes,
+      same connectivity as the full clique;
+    - iterative min-label propagation to a fixed point (the classic
+      large-scale connected-components shape; O(component diameter)
+      rounds, each a shuffle on the edge key — scales linearly);
+    - ``rep`` is the lexicographically smallest key of the component;
+      ``keep`` is 1 exactly for the representative row.
+
+    Deterministic, and SQL-expressible (transitive closure over the
+    same star edges), so the driver's DuckDB oracle can verify it
+    bit-for-bit.
+    """
+    groups = minhash_dedup_groups(
+        df, text_col=text_col, key_col=key_col,
+        k=k, num_hashes=num_hashes, bands=bands,
+    )
+    bucket_min = groups.groupBy("band", "band_sig").agg(
+        F.min(key_col).alias("_rep")
+    )
+    star = (
+        groups.join(bucket_min, ["band", "band_sig"])
+        .filter(F.col(key_col) != F.col("_rep"))
+        .select(F.col(key_col).alias("_a"), F.col("_rep").alias("_b"))
+        .distinct()
+    )
+    # localCheckpoint (not persist): each round's labels feed the next
+    # round's joins, so without lineage truncation the logical plan
+    # doubles per iteration and the driver OOMs just PRINTING it. On a
+    # real cluster use a reliable checkpoint dir instead.
+    edges = star.unionByName(
+        star.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).localCheckpoint()
+
+    labels = (
+        df.select(key_col).distinct()
+        .withColumn("_lbl", F.col(key_col))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["_b"] == labels[key_col])
+            .groupBy("_a")
+            .agg(F.min("_lbl").alias("_nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[key_col] == nbr_min["_a"], "left")
+            .select(
+                labels[key_col],
+                F.least(
+                    F.col("_lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("_lbl"))
+                ).alias("_new_lbl"),
+            )
+            .withColumnRenamed("_new_lbl", "_lbl")
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("_lbl", "_old"), key_col)
+            .filter(F.col("_lbl") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col(key_col),
+        F.col("_lbl").alias("rep"),
+        (F.col(key_col) == F.col("_lbl")).cast("long").alias("keep"),
+    )
+
+
 def simhash64(col: str, k: int = 4):
     """64-bit SimHash from k-shingles via md5-derived bit drift.
 

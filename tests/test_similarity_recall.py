@@ -1,0 +1,68 @@
+"""ANN-LSH quality: measured recall@k vs brute force, and multiprobe
+candidate-pairing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2js_spark.spark.session import get_session
+from s2js_spark.spark.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_lsh_banded_recall_at_5(spark):
+    """recall@5 of banded LSH (r=3 bits x L=12 bands) vs exact brute
+    force over the sf0.01 embeddings, 20 query vectors. Must reach
+    >= 0.9 measured — on near-random synthetic embeddings, the LSH
+    worst case (true-neighbor cosine ~0.26-0.49)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(spark, emb, queries, k=5)
+    approx = lsh_topk(spark, emb, queries, k=5, num_planes=36, bands=12)
+
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
+def test_lsh_candidate_pruning_measured(spark):
+    """The banded join must examine strictly fewer pairs than brute
+    force even on worst-case near-random data (real clustered
+    embeddings sit at higher bit-agreement p and prune far harder —
+    the 1-(1-p^r)^L OR-amplification curve)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n_vec = emb.count()
+    cand = lsh_topk(spark, emb, queries, k=10**9, num_planes=36, bands=12)
+    n_cand = cand.count()
+    frac = n_cand / (20 * n_vec)
+    print(f"candidate fraction: {frac:.3f}")
+    assert frac < 0.8
+
+
+def test_lsh_no_duplicate_pairs_and_self_match(spark):
+    """Band-overlap candidates are deduped; every query finds itself
+    at rank 1 with sim 1.0 (its own bands always match)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(spark, emb, queries, k=50, num_planes=36, bands=12)
+    assert out.count() == out.select("query_id", "vec_id").distinct().count()
+    top1 = {r.query_id: (r.vec_id, r.sim) for r in out.filter(F.col("rank") == 1).collect()}
+    for qid, (vid, sim) in top1.items():
+        assert vid == qid and abs(sim - 1.0) < 1e-9

@@ -127,3 +127,39 @@ def test_rect_cap_sql_bitwise_vs_kernel(spark):
     )
     assert jvm == kernel
     assert len(jvm) > 100
+
+
+def test_registered_predicate_functions(spark):
+    """SQL-callable s2_point_in_polygon / s2_rect_contains /
+    s2_cap_contains agree with the tag-join decisions."""
+    import json
+    import pandas as pd
+    from s2js_spark.spark.functions import register_all
+    import __spark_entry__ as e
+
+    register_all(spark)
+    gj = json.dumps(e.PIP_TILES[0][1])
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [1.0, 1.69, 50.0], "lng": [8.0, 8.0, 50.0]})
+    )
+    df.createOrReplaceTempView("pts")
+    got = spark.sql(
+        f"""SELECT
+          s2_point_in_polygon(lat, lng, '{gj}') AS pip,
+          s2_rect_contains(lat, lng, -27.4D, -26.6D, -76.8D, -75.2D) AS rc,
+          s2_cap_contains(lat, lng, 29.0D, 92.0D, 0.8D) AS cc
+        FROM pts"""
+    ).collect()
+    assert [r.pip for r in got] == [True, True, False]
+    assert [r.rc for r in got] == [False, False, False]
+    assert [r.cc for r in got] == [False, False, False]
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"lat": [-27.0, 29.0], "lng": [-76.0, 92.0]})
+    )
+    df2.createOrReplaceTempView("pts2")
+    got2 = spark.sql(
+        """SELECT s2_rect_contains(lat, lng, -27.4D, -26.6D, -76.8D, -75.2D) AS rc,
+                  s2_cap_contains(lat, lng, 29.0D, 92.0D, 0.8D) AS cc FROM pts2"""
+    ).collect()
+    assert [r.rc for r in got2] == [True, False]
+    assert [r.cc for r in got2] == [False, True]
