@@ -32,6 +32,11 @@ from s2js_spark.spark.tiles import build_tileset
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1600"))
+# The scaling phase runs 16x the corpus (~102M pages): a 32-core cluster finishes the
+# default corpus in seconds, so per-job fixed costs (scheduling,
+# broadcast construction) would dominate the ratio — at the 100 TB
+# design point jobs run for hours and those costs are noise.
+CLUSTER_AMPLIFY = int(os.environ.get("SPARK_GRAFT_CLUSTER_AMPLIFY", str(16 * AMPLIFY)))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
 
@@ -54,7 +59,7 @@ def session(n_threads: int) -> SparkSession:
     )
 
 
-def amplified_pages(spark: SparkSession):
+def amplified_pages(spark: SparkSession, amplify: int = None):
     """Deterministic xAMPLIFY page replication with coordinate jitter.
 
     Stays entirely JVM-side (explode over a sequence), so amplification
@@ -68,9 +73,10 @@ def amplified_pages(spark: SparkSession):
     # Repartition the 5k seed rows FIRST so the x AMPLIFY explode (and
     # the ~GB of html it generates) fans out across all cores instead of
     # serializing on the seed partitions.
+    amplify = AMPLIFY if amplify is None else amplify
     rep = (
         p.repartition(n_part * 4)
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))))
     )
     # vary url per replica so dedup keeps realistic cardinality
     return rep.withColumn("url", F.concat_ws("#", "url", "rep"))
@@ -95,14 +101,14 @@ def tileset():
     return build_tileset(tiles, max_cells=48)
 
 
-def flagship_frames(spark: SparkSession, ts):
+def flagship_frames(spark: SparkSession, ts, amplify: int = None):
     """(deduped pages df, per-tile tag counts df) — the flagship plan.
 
     All-JVM: geotag regex -> dedup window -> SQL S2 encode -> covering
     broadcast join + SQL refinement (certified single-pass; the
     exact-residual branch is off here — tests assert it is empty on
     this corpus)."""
-    df = amplified_pages(spark)
+    df = amplified_pages(spark, amplify)
     df = extract_geotags(df)
     df = dedup_latest(df)
     geo = df.select("url", "lat", "lng")
@@ -142,22 +148,34 @@ def run_query_timings(spark: SparkSession) -> dict[str, float]:
     return out
 
 
-def measure_flagship(spark, ts, trials: int = 4) -> tuple[float, int]:
+def measure_flagship(spark, ts, trials: int = 4, amplify: int = None) -> tuple[float, int]:
     """Warm-up + best-of-N flagship wall time.
 
-    One full untimed run first (C2 JIT of the generated whole-stage
-    code dominates the first execution), then best-of-N (the sandbox
-    shows multi-x run-to-run environmental variance; best-of-N is the
-    robust estimator of the machine's capability at that topology).
-    The page count is deterministic, so it is computed once, untimed.
+    Each trial rebuilds the DataFrame from scratch: re-collecting the
+    SAME plan would silently reuse the previous run's shuffle map
+    outputs (Spark stage reuse on identical RDD lineage) and time only
+    the final stage. One full untimed run first (C2 JIT of the
+    generated whole-stage code dominates the first execution), then
+    best-of-N — the sandbox shows multi-x run-to-run environmental
+    variance and best-of-N is the robust estimator. The page count is
+    deterministic and computed once, untimed.
     """
-    df, _agg = flagship_frames(spark, ts)
-    n_pages = df.count()
-    run_flagship(spark, ts)
+    # post-dedup page count is distinct_urls x amplify by construction
+    # (replica urls are distinct; re-crawl pairs share a url) — no
+    # extra full-pipeline pass just to count
+    n_urls = pages(spark, SF_DIR).select("url").distinct().count()
+    n_pages = n_urls * (AMPLIFY if amplify is None else amplify)
+
+    def one_run():
+        _df2, agg = flagship_frames(spark, ts, amplify)
+        t0 = time.time()
+        agg.collect()
+        return time.time() - t0
+
+    one_run()  # warm-up
     best = float("inf")
     for _trial in range(trials):
-        wall, _n_tags = run_flagship(spark, ts)
-        best = min(best, wall)
+        best = min(best, one_run())
     return best, n_pages
 
 
@@ -181,7 +199,9 @@ def cluster_scaling(ts) -> dict:
                 app_name="s2js-bench",
             )
             spark.sparkContext.setLogLevel("ERROR")
-            best, n_pages = measure_flagship(spark, ts)
+            best, n_pages = measure_flagship(
+                spark, ts, trials=2, amplify=CLUSTER_AMPLIFY
+            )
             tput[n_exec] = n_pages / best
             out[f"wall_{n_exec}x4"] = round(best, 3)
             out["pages"] = n_pages

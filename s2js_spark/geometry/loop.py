@@ -23,8 +23,10 @@ from .cell import Cell
 from .edge_crossings import (
     CROSS,
     DO_NOT_CROSS,
+    MAYBE_CROSS,
     EdgeCrosser,
     angle_contains_vertex,
+    crossing_sign,
 )
 from .interval import R1Interval, S1Interval
 from .latlng import LatLng
@@ -46,6 +48,14 @@ def wedge_contains(a0: Point, ab1: Point, a2: Point, b0: Point, b2: Point) -> bo
 
 def wedge_intersects(a0: Point, ab1: Point, a2: Point, b0: Point, b2: Point) -> bool:
     return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
+
+
+def wedge_contains_semiwedge(a0: Point, ab1: Point, a2: Point, b2: Point, reverse: bool) -> bool:
+    """Whether wedge (a0,ab1,a2) contains the semi-wedge edge (ab1,b2)
+    (Loop.ts:861-864)."""
+    if b2.equals(a0) or b2.equals(a2):
+        return b2.equals(a0) == reverse
+    return ordered_ccw(a0, a2, b2, ab1)
 
 
 # Wedge relation enum (wedge_relations.ts:12-16)
@@ -405,27 +415,65 @@ class Loop:
             self.vertex(m - 1), self.vertex(m), self.vertex(m + 1), other.vertex(0), other.vertex(2)
         )
 
-    def _any_edge_crossing(self, o: "Loop") -> bool:
-        """Brute O(n*m) proper-crossing detection between boundaries."""
+    # Pairs below this run the brute O(n*m) double loop; above it the
+    # cell-bucketed edge index prunes candidates to O((n+m) log).
+    _BRUTE_PAIR_LIMIT = 4096
+
+    def _edge_pair_iter(self, o: "Loop"):
+        """(ai, bj) edge-index pairs to test: all pairs for small
+        loops, bucket-pruned candidates (a sound superset of every
+        crossing or shared-vertex pair) for big ones — the engine's
+        stand-in for the reference's LoopCrosser/ShapeIndex sweep
+        (Loop.ts:710-760; replacement documented in SURVEY §2.11)."""
+        n, m = len(self.vertices), len(o.vertices)
+        if n * m <= self._BRUTE_PAIR_LIMIT:
+            return ((i, j) for i in range(n) for j in range(m))
+        from .edge_bucket_index import candidate_pairs
+
+        return iter(sorted(candidate_pairs(self, o)))
+
+    def _crossing_relation(self, o: "Loop", wedges_cross) -> tuple[bool, bool]:
+        """(crossing found, shared vertex found) over candidate edge
+        pairs — the flat equivalent of the reference's
+        hasCrossingRelation (Loop.ts:710-760 + LoopCrosser
+        edgeCrossesCell:918-958): proper crossings report immediately;
+        a shared vertex in chain-middle position (a[i+1] == b[j+1])
+        defers to the relation's wedge test."""
         if self.is_empty_or_full() or o.is_empty_or_full():
-            return False
-        for k in range(len(o.vertices)):
-            a, b = o.vertex(k), o.vertex(k + 1)
-            crosser = EdgeCrosser.new_chain_edge_crosser(a, b, self.vertex(0))
-            for i in range(1, len(self.vertices) + 1):
-                if crosser.chain_crossing_sign(self.vertex(i)) == CROSS:
-                    return True
-        return False
+            return False, False
+        found_shared = False
+        for i, j in self._edge_pair_iter(o):
+            sign = crossing_sign(
+                self.vertex(i), self.vertex(i + 1), o.vertex(j), o.vertex(j + 1)
+            )
+            if sign == CROSS:
+                return True, found_shared
+            if sign == MAYBE_CROSS and self.vertex(i + 1).equals(o.vertex(j + 1)):
+                found_shared = True
+                if wedges_cross(
+                    self.vertex(i), self.vertex(i + 1), self.vertex(i + 2),
+                    o.vertex(j), o.vertex(j + 2),
+                ):
+                    return True, found_shared
+        return False, found_shared
 
     def contains(self, o: "Loop") -> bool:
-        """Loop containment; brute crossing test in place of the
-        reference's indexed LoopCrosser (Loop.ts:211-233)."""
+        """Loop containment (Loop.ts:211-233), incl. shared-vertex
+        wedge semantics (ContainsRelation: crossing iff the A wedge
+        does NOT contain the B wedge)."""
         if not self.subregion_bound.contains(o.bound):
             return False
         if self.is_empty_or_full() or o.is_empty_or_full():
             return self.is_full() or o.is_empty()
-        if self._any_edge_crossing(o):
+
+        def contains_wedges_cross(a0, ab1, a2, b0, b2):
+            return not wedge_contains(a0, ab1, a2, b0, b2)
+
+        crossed, found_shared = self._crossing_relation(o, contains_wedges_cross)
+        if crossed:
             return False
+        if found_shared:
+            return True
         if not self.contains_point(o.vertex(0)):
             return False
         if (
@@ -435,11 +483,15 @@ class Loop:
         return True
 
     def intersects(self, o: "Loop") -> bool:
-        """Loop intersection (Loop.ts:235-250)."""
+        """Loop intersection (Loop.ts:235-250), incl. shared-vertex
+        wedge semantics (IntersectsRelation)."""
         if not self.bound.intersects(o.bound):
             return False
-        if self._any_edge_crossing(o):
+        crossed, found_shared = self._crossing_relation(o, wedge_intersects)
+        if crossed:
             return True
+        if found_shared:
+            return False
         if self.subregion_bound.contains(o.bound) or self.bound.union(o.bound).is_full():
             if self.contains_point(o.vertex(0)):
                 return True

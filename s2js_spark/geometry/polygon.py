@@ -349,17 +349,33 @@ def _compare_loops(a: Loop, b: Loop) -> int:
 
 
 def _loop_compare_boundary(l: Loop, o: Loop) -> int:
-    """Loop.compareBoundary (Loop.ts:281-293) using brute crossing tests."""
+    """Loop.compareBoundary (Loop.ts:281-293) with the
+    CompareBoundaryRelation wedge state (Loop.ts:832-859): +1 if l
+    contains o's boundary, -1 if it excludes it, 0 if they cross."""
     if not l.bound.intersects(o.bound):
         return -1
     if l.is_full():
         return 1
     if o.is_full():
         return -1
-    if l._any_edge_crossing(o):
+
+    from .loop import wedge_contains_semiwedge
+
+    reverse = o.is_hole()
+    state = {"contains_edge": False, "excludes_edge": False}
+
+    def wedges_cross(a0, ab1, a2, _b0, b2):
+        if wedge_contains_semiwedge(a0, ab1, a2, b2, reverse):
+            state["contains_edge"] = True
+        else:
+            state["excludes_edge"] = True
+        return state["contains_edge"] and state["excludes_edge"]
+
+    crossed, found_shared = l._crossing_relation(o, wedges_cross)
+    if crossed:
         return 0
-    # Check shared-vertex wedge cases via containsNonCrossingBoundary of
-    # single edges; the brute fallback: containment of o's vertex 0.
+    if found_shared:
+        return 1 if state["contains_edge"] else -1
     return 1 if l.contains_point(o.vertex(0)) else -1
 
 

@@ -109,6 +109,20 @@ class Polyline:
             target -= length
         return self.points[-1], len(self.points)
 
+    def uninterpolate(self, point: Point, next_vertex: int) -> float:
+        """Inverse of interpolate: the length fraction at which ``point``
+        (on edge next_vertex-1 -> next_vertex) sits (Polyline.ts
+        uninterpolate tail)."""
+        if len(self.points) < 2:
+            return 0.0
+        total = 0.0
+        for i in range(1, next_vertex):
+            total += self.points[i - 1].distance(self.points[i])
+        length_to_point = total + self.points[next_vertex - 1].distance(point)
+        for i in range(next_vertex, len(self.points)):
+            total += self.points[i - 1].distance(self.points[i])
+        return min(1.0, length_to_point / total)
+
     def project(self, point: Point) -> tuple[Point, int]:
         """Closest point on the polyline + next vertex index
         (Polyline.ts:323-341)."""
