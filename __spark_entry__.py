@@ -215,7 +215,10 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dedup_latest(_geo_pages(spark, sf_dir)).filter(F.col("lat").isNotNull())
     pts = df.select(F.col("url").alias("id"), "lat", "lng")
     q = spark.createDataFrame(KNN_QUERIES, ["query_id", "qlat", "qlng"])
-    out = knn_join(spark, pts, q, k=KNN_K)
+    # level pinned (city-scale density) — auto-selection would spend a
+    # full pass counting points; exactness holds at ANY level via the
+    # certified brute-force escalation
+    out = knn_join(spark, pts, q, k=KNN_K, level=8)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("id").alias("url"),

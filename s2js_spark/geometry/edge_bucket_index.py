@@ -124,3 +124,48 @@ def candidate_pairs(a_loop, b_loop) -> set[tuple[int, int]]:
             for e2 in other:
                 pairs.add((e2, e1) if flip else (e1, e2))
     return pairs
+
+
+CROSSING_TYPE_INTERIOR = 0
+CROSSING_TYPE_ALL = 1
+
+
+class CrossingEdgeQuery:
+    """Edges of an indexed loop/polyline that cross a query edge.
+
+    API equivalent of /root/reference/s2/CrossingEdgeQuery.ts:24-346
+    over the bucket index instead of a ShapeIndex (SURVEY §2.11
+    replacement): candidate edges come from the level-L cells the
+    query edge touches; exact filtering uses the chained EdgeCrosser.
+    CROSSING_TYPE_INTERIOR returns proper crossings only;
+    CROSSING_TYPE_ALL also returns edges sharing a vertex.
+    """
+
+    def __init__(self, shape, level: int | None = None) -> None:
+        self.shape = shape
+        self.level = pick_level(shape) if level is None else level
+        self.index = EdgeBucketIndex(shape, self.level)
+
+    def candidates(self, a: Point, b: Point) -> list[int]:
+        """Sorted candidate edge ids whose cells intersect AB's cells
+        (a sound superset of all crossing / vertex-sharing edges)."""
+        out: set[int] = set()
+        for c in edge_cells(a, b, self.level):
+            out.update(self.index.buckets.get(c, ()))
+        return sorted(out)
+
+    def crossings(
+        self, a: Point, b: Point, cross_type: int = CROSSING_TYPE_INTERIOR
+    ) -> list[int]:
+        """Edge ids of the shape crossing AB (CrossingEdgeQuery.ts:47-69)."""
+        from .edge_crossings import CROSS, MAYBE_CROSS, EdgeCrosser
+
+        crosser = EdgeCrosser(a, b)
+        out = []
+        for e in self.candidates(a, b):
+            sign = crosser.crossing_sign(
+                self.shape.vertex(e), self.shape.vertex(e + 1)
+            )
+            if sign == CROSS or (cross_type == CROSSING_TYPE_ALL and sign == MAYBE_CROSS):
+                out.append(e)
+        return out

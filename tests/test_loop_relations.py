@@ -169,3 +169,40 @@ def test_compare_boundary_shared_edge():
     # shared-edge neighbor: boundary of the neighbor is NOT contained
     right = _loop_from_latlngs([(0, -10), (0, 0), (10, 0), (10, -10)])
     assert _loop_compare_boundary(sq, right) == -1
+
+
+def test_crossing_edge_query_matches_brute():
+    """CrossingEdgeQuery candidates+crossings vs a brute scan over all
+    edges, for interior-only and ALL crossing types."""
+    from s2js_spark.geometry.edge_bucket_index import (
+        CROSSING_TYPE_ALL,
+        CROSSING_TYPE_INTERIOR,
+        CrossingEdgeQuery,
+    )
+    from s2js_spark.geometry.edge_crossings import (
+        CROSS,
+        MAYBE_CROSS,
+        EdgeCrosser,
+    )
+
+    loop = _regular(5, 5, 8, 64)
+    q = CrossingEdgeQuery(loop)
+    for _ in range(40):
+        lat1, lng1 = rng.uniform(-6, 16), rng.uniform(-6, 16)
+        lat2, lng2 = rng.uniform(-6, 16), rng.uniform(-6, 16)
+        a = Point.from_latlng_degrees(lat1, lng1)
+        b = Point.from_latlng_degrees(lat2, lng2)
+        crosser = EdgeCrosser(a, b)
+        brute_cross = [
+            e
+            for e in range(len(loop.vertices))
+            if crosser.crossing_sign(loop.vertex(e), loop.vertex(e + 1)) == CROSS
+        ]
+        brute_all = [
+            e
+            for e in range(len(loop.vertices))
+            if crosser.crossing_sign(loop.vertex(e), loop.vertex(e + 1))
+            in (CROSS, MAYBE_CROSS)
+        ]
+        assert q.crossings(a, b, CROSSING_TYPE_INTERIOR) == brute_cross
+        assert q.crossings(a, b, CROSSING_TYPE_ALL) == brute_all

@@ -1,0 +1,133 @@
+"""Streaming operator tests: the tag join runs incrementally on a
+stream and reproduces the batch answer; sessionization via
+applyInPandasWithState closes sessions at event-time gaps."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2js_spark.spark.session import get_session
+from s2js_spark.spark.streaming import sessionize_events, streaming_tag_pairs
+from s2js_spark.spark.tagjoin import tag_tiles_pairs
+from s2js_spark.spark.tiles import build_tileset
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_streaming_tag_pairs_equals_batch(spark, tmp_path):
+    """File-source stream of geotagged pages -> tag pairs (availableNow)
+    must equal the batch tag join on the same rows."""
+    import __spark_entry__ as e
+    from s2js_spark.spark.pages import pages
+    from s2js_spark.spark.pipeline import extract_geotags
+
+    ts = build_tileset(e.PIP_TILES + e.RECT_TILES, max_cells=48)
+    geo = (
+        extract_geotags(pages(spark, SF))
+        .filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lng")
+    )
+    src = str(tmp_path / "geo_src")
+    geo.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.url, r.tile_i)
+        for r in tag_tiles_pairs(
+            spark, spark.read.parquet(src), ts, exact_residuals=False
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(geo.schema).parquet(src)
+    tagged = streaming_tag_pairs(spark, stream, ts)
+    out_dir = str(tmp_path / "out")
+    q = (
+        tagged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.url, r.tile_i) for r in spark.read.parquet(out_dir).collect()}
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_sessionize_events_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization (streaming, availableNow):
+    sessions split at >gap event-time silence; closed sessions are
+    emitted immediately, open tails only via timeout (next test)."""
+    rows = [
+        ("click", 0.0, 1.0),
+        ("click", 600.0, 1.0),
+        ("click", 3000.0, 2.0),  # > 1800s after 600 -> new session
+        ("click", 3300.0, 1.0),
+        ("click", 9000.0, 5.0),  # third session (stays open)
+        ("view", 100.0, 1.0),
+        ("view", 5000.0, 1.0),  # second view session (stays open)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts_sec", "value"])
+    src = str(tmp_path / "ev_src_b")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        sessionize_events(stream, gap_seconds=1800.0)
+        .writeStream.format("memory")
+        .queryName("sess_closed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sessions = {
+        (r.event_type, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_closed").collect()
+    }
+    assert ("click", 0.0, 600.0, 2, 2.0) in sessions
+    assert ("click", 3000.0, 3300.0, 2, 3.0) in sessions
+    assert ("view", 100.0, 100.0, 1, 1.0) in sessions
+
+
+def test_sessionize_events_streaming_with_timeout(spark, tmp_path):
+    """On a stream, the final open session flushes via the processing
+    -time timeout after the source runs dry."""
+    rows = [("click", float(t), 1.0) for t in (0, 100, 5000)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts_sec", "value"])
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    sessions = sessionize_events(stream, gap_seconds=1800.0, timeout_ms=2000)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        want = {("click", 0.0, 100.0, 2, 2.0), ("click", 5000.0, 5000.0, 1, 1.0)}
+        got = set()
+        while time.time() < deadline and got != want:
+            time.sleep(2)
+            got = {
+                (r.event_type, r.session_start, r.session_end, r.n_events, r.sum_value)
+                for r in spark.sql("SELECT * FROM sess_out").collect()
+            }
+        assert got == want
+    finally:
+        q.stop()
