@@ -3,9 +3,9 @@
 ``entry(spark)`` runs the flagship spatial-tagging pipeline on
 sf0.001. ``queries()`` exposes every implemented operator from
 SURVEY.md §2 as (spark, sf_dir) callables; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible one (S2 cell encoding
-and LSH bucketing are genuinely non-SQL ops and carry the weaker
-rows-only check).
+DuckDB-equivalent SQL for ALL of them — including the S2 Hilbert
+encode, reproduced in DuckDB bit ops + a lookup VALUES join
+(tools/duckdb_s2.py) bitwise-identical to the engine's JVM encode.
 
 The synthetic web-pages corpus is derived from the driver's
 ``documents`` parquet by ONE dialect-portable SQL text
@@ -173,7 +173,7 @@ def _q_cap_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leaf cell encode + hierarchy columns (non-SQL: rows-only check)."""
+    """Leaf cell encode + hierarchy columns (exact DuckDB oracle via tools/duckdb_s2)."""
     from s2js_spark.spark import sqlkernels as sq
 
     df = encode_cells(_geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull()))
@@ -408,6 +408,45 @@ def _xyz_sql(lat_expr: str, lng_expr: str) -> tuple[str, str, str]:
     )
 
 
+def _s2_geo_cte() -> str:
+    """pages -> geo (lat/lng doubles) -> enc (cellid) CTE chain.
+
+    lat_e6/1e6 is bitwise-equal to the engine's string->double parse:
+    both are the correctly-rounded double nearest to the exact decimal.
+    """
+    from tools import duckdb_s2 as ds
+
+    return (
+        f"WITH pages AS ({PAGES_SQL}), geo AS ("
+        " SELECT url, lang, CAST(lat_e6 AS DOUBLE) / 1000000.0 AS lat,"
+        " CAST(lng_e6 AS DOUBLE) / 1000000.0 AS lng"
+        " FROM pages WHERE lat_e6 IS NOT NULL),"
+        + ds.encode_cte_sql("geo")
+    )
+
+
+def _s2_encode_oracle_sql() -> str:
+    from tools import duckdb_s2 as ds
+
+    return f"""{_s2_geo_cte()}
+        SELECT url, cellid,
+          {ds.token_sql('cellid')} AS token,
+          CAST(30 AS INT) AS level,
+          {ds.token_sql(ds.parent_sql('cellid', 10))} AS token_l10,
+          {ds.flip_key_sql('cellid')} AS sort_key
+        FROM enc"""
+
+
+def _cell_rollup_oracle_sql() -> str:
+    from tools import duckdb_s2 as ds
+
+    return f"""{_s2_geo_cte()}
+        SELECT {ds.token_sql(ds.parent_sql('cellid', 6))} AS cell_l6,
+          count(*) AS n_pages,
+          count(DISTINCT lang) AS n_langs
+        FROM enc GROUP BY 1 ORDER BY 1"""
+
+
 def _lsh_sig_duckdb(vec_col: str, num_planes: int) -> str:
     """DuckDB twin of similarity.lsh_signature_expr (same fixed
     pseudo-random plane weights, same sign rule)."""
@@ -510,8 +549,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lat_e6 IS NOT NULL AND
               (pow(({px}) - ({cx}), 2) + pow(({py}) - ({cy}), 2)
                + pow(({pz}) - ({cz}), 2)) <= {cap_r2}""",
-        # s2_encode, cell_rollup: S2 Hilbert encode is not SQL-expressible
-        # -> rows-only checks (intentionally omitted here).
+        # s2_encode / cell_rollup: the Hilbert encode reproduced in
+        # DuckDB (bit ops + the 1024-entry lookup as a VALUES join;
+        # HUGEINT for the sign-bit wrap) — bitwise-identical to the
+        # engine's JVM SQL encode (tools/duckdb_s2.py).
+        "s2_encode": _s2_encode_oracle_sql(),
+        "cell_rollup": _cell_rollup_oracle_sql(),
         "knn": f"""{_PAGES_CTE}, dedup AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY url
