@@ -247,15 +247,18 @@ def cluster_scaling(ts) -> dict:
 def main() -> None:
     ts = tileset()
 
-    cluster = cluster_scaling(ts) if SCALING else None
-    ceiling = machine_parallel_ceiling() if SCALING else None
-
     # headline flagship number + per-query timings on local[CPUS]
+    # FIRST: the cluster phase leaves JVM-level state (system
+    # properties, worker pools) that measurably slows later local
+    # sessions in the same process
     spark = session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     best, pages_count = measure_flagship(spark, ts)
     q_times = run_query_timings(spark)
     spark.stop()
+
+    cluster = cluster_scaling(ts) if SCALING else None
+    ceiling = machine_parallel_ceiling() if SCALING else None
 
     result = {
         "metric": "flagship_pipeline_sec",
