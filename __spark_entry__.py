@@ -65,6 +65,24 @@ PIP_TILES = [
     ),
 ]
 
+def _big_pip_ring(n: int = 240) -> list[list[float]]:
+    """A deterministic jagged 240-vertex CONCAVE ring around city 8
+    (1N, 8E): r(theta) = 1.2 + 0.5 sin(9 theta) degrees. Well above
+    tagjoin.MAX_INLINE_EDGES, so the engine's array-aggregate winding
+    fallback (the realistic admin-boundary path) is what runs."""
+    ring = []
+    for k in range(n):
+        th = 2.0 * math.pi * k / n
+        r = 1.2 + 0.5 * math.sin(9.0 * th)
+        ring.append([8.0 + r * math.cos(th), 1.0 + r * math.sin(th)])
+    ring.append(list(ring[0]))
+    return ring
+
+
+BIG_PIP_TILES = [
+    ("bigpoly_c8", {"type": "Polygon", "coordinates": [_big_pip_ring()]})
+]
+
 # Lat/lng rectangles around cities 4 (-27N, -76E) and 5 (-20N, -55E).
 RECT_TILES = [
     ("rect_c4", Rect(R1Interval(-27.4 * D, -26.6 * D), S1Interval.from_endpoints(-76.8 * D, -75.2 * D))),
@@ -104,13 +122,37 @@ def _tileset(name: str, tiles, max_cells: int):
     return _TS_CACHE[key]
 
 
+# Input DataFrames are memoized per (session, sf_dir): DataFrames are
+# immutable+lazy so reuse is free, and handing back the IDENTICAL
+# object lets downstream plan caches (tagjoin._PAIRS_CACHE) hit —
+# `semanticHash` cannot see through CTE plans (Spark does not
+# canonicalize CTERelationDef ids), so object identity is the reliable
+# key for repeated-query workloads.
+_DF_CACHE: dict = {}
+
+
+def _df_cached(spark: SparkSession, key: str, builder) -> DataFrame:
+    import weakref
+
+    k = (id(spark), key)
+    hit = _DF_CACHE.get(k)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    df = builder()
+    _DF_CACHE[k] = (weakref.ref(spark), df)
+    return df
+
+
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pages(spark, sf_dir)
+    return _df_cached(spark, f"pages:{sf_dir}", lambda: pages(spark, sf_dir))
 
 
 def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = extract_geotags(_pages(spark, sf_dir))
-    return df
+    return _df_cached(
+        spark,
+        f"geo:{sf_dir}",
+        lambda: extract_geotags(_pages(spark, sf_dir)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -165,11 +207,44 @@ def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(names), "tile_i").select("url", "tile_id")
 
 
+def _q_pip_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon against a 240-edge concave polygon — drives the
+    array-aggregate winding path (tagjoin._winding_agg_sql) that real
+    10^4-vertex admin boundaries hit; oracle = the same certified
+    winding count reproduced over a DuckDB VALUES edge table."""
+    df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
+    ts = _tileset("pip_big", BIG_PIP_TILES, 64)
+    pairs = tag_tiles_pairs(spark, df, ts)
+    return pairs.select("url", F.lit("bigpoly_c8").alias("tile_id"))
+
+
 def _q_cap_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = _tileset("cap", CAP_TILES, 32)
     pairs = tag_tiles_pairs(spark, df, ts)
     return pairs.select("url", F.lit("cap_c12").alias("tile_id"))
+
+
+def _q_polyline_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic segment clipping against the convex diamond tile: the
+    great-circle route from every geotagged page to the city-8 hub,
+    clipped to the chord-parameter interval inside the tile. Pure
+    map-side SQL (polyline_ops.clip_segments_convex); the general
+    concave path lives in geometry/polyline_clip.py."""
+    from s2js_spark.spark.polyline_ops import clip_segments_convex
+
+    ring = PIP_TILES[0][1]["coordinates"][0]
+    seg = (
+        _geo_pages(spark, sf_dir)
+        .filter(F.col("lat").isNotNull())
+        .select(
+            "url",
+            F.col("lat").alias("alat"), F.col("lng").alias("alng"),
+            F.lit(1.0).alias("blat"), F.lit(8.0).alias("blng"),
+        )
+    )
+    out = clip_segments_convex(seg, ring)
+    return out.select("url", "t0", "t1")
 
 
 def _q_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +401,27 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_lsh_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale ANN SELF-join (semantic near-dup shape): every
+    vector is a query, banded-LSH candidates via a plain SHUFFLE
+    equi-join on the band key — nothing corpus-sized broadcast
+    (similarity.lsh_topk broadcast_queries=False)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(
+        spark, emb, queries, k=5, num_planes=36, bands=12,
+        broadcast_queries=False,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2js_spark.spark.multimodal import extract_features, synth_media
 
@@ -341,8 +437,8 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute windows per event type (batch form of the
-    streaming aggregation; see tests/test_streaming.py for the
-    Structured Streaming variant)."""
+    streaming aggregation; see tests/test_streaming_ops.py and
+    tests/test_spark_engine.py for the Structured Streaming variant)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.unix_timestamp("ts").cast("long") / 600).cast("long") * 600
     return (
@@ -376,7 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_latest": _q_dedup_latest,
         "rect_tag": _q_rect_tag,
         "pip_tag": _q_pip_tag,
+        "pip_big": _q_pip_big,
         "cap_tag": _q_cap_tag,
+        "polyline_clip": _q_polyline_clip,
         "s2_encode": _q_s2_encode,
         "cell_rollup": _q_cell_rollup,
         "knn": _q_knn,
@@ -390,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_lsh_self": _q_ann_lsh_self,
         "media_features": _q_media_features,
         "events_window": _q_events_window,
         "tpch_q1": _q_tpch_q1,
@@ -459,6 +558,85 @@ def _lsh_sig_duckdb(vec_col: str, num_planes: int) -> str:
         )
         bits.append(f"CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END")
     return " || ".join(bits)
+
+
+def _polyline_clip_oracle_sql() -> str:
+    """DuckDB twin of polyline_ops.clip_segments_convex: identical
+    plane literals, identical Liang-Barsky fold order."""
+    from s2js_spark.spark.polyline_ops import clip_oracle_exprs
+
+    ring = PIP_TILES[0][1]["coordinates"][0]
+    keep, t0, t1 = clip_oracle_exprs(
+        ring, "lat_e6/1e6", "lng_e6/1e6", "CAST(1.0 AS DOUBLE)", "CAST(8.0 AS DOUBLE)"
+    )
+    return f"""{_PAGES_CTE}
+        SELECT url, {t0} AS t0, {t1} AS t1
+        FROM pages WHERE lat_e6 IS NOT NULL AND {keep}"""
+
+
+def _pip_big_oracle_sql() -> str:
+    """DuckDB twin of the engine's certified winding test for the big
+    concave tile (tagjoin._winding_agg_sql): the SAME precomputed edge
+    normals / origin determinants (identical numpy op order as
+    tagjoin.covering_frames), the SAME +-eps certified sign bands, a
+    VALUES edge table instead of a broadcast array column. Points far
+    from edges (asserted: zero uncertified lanes) make both counts
+    identical."""
+    import numpy as np
+
+    from s2js_spark.spark.tagjoin import MAX_DETERMINANT_ERROR
+    from s2js_spark.spark.tiles import _origin_xyz
+
+    ts = _tileset("pip_big", BIG_PIP_TILES, 64)
+    ox, oy, oz = _origin_xyz()
+    e0, e1 = int(ts.edge_off[0]), int(ts.edge_off[1])
+    cx, cy, cz = ts.cx[e0:e1], ts.cy[e0:e1], ts.cz[e0:e1]
+    dx, dy, dz = ts.dx[e0:e1], ts.dy[e0:e1], ts.dz[e0:e1]
+    nx = cy * dz - cz * dy
+    ny = cz * dx - cx * dz
+    nz = cx * dy - cy * dx
+    dea = nx * ox + ny * oy + nz * oz
+    rows = ", ".join(
+        f"({cx[k]!r}, {cy[k]!r}, {cz[k]!r}, {dx[k]!r}, {dy[k]!r}, {dz[k]!r},"
+        f" {nx[k]!r}, {ny[k]!r}, {nz[k]!r}, {dea[k]!r})"
+        for k in range(e1 - e0)
+    )
+    eps = repr(MAX_DETERMINANT_ERROR)
+
+    def sgn(x: str) -> str:
+        return f"(CASE WHEN ({x}) > {eps} THEN 1 WHEN ({x}) < -{eps} THEN -1 ELSE 0 END)"
+
+    acb = f"(-{sgn('abx * e.cx + aby * e.cy + abz * e.cz')})"
+    bda = sgn("abx * e.dx + aby * e.dy + abz * e.dz")
+    cbd = f"(-{sgn('e.nx * px + e.ny * py + e.nz * pz')})"
+    dac = sgn("e.dea")
+    parity = "TRUE" if bool(ts.origin_parity[0]) else "FALSE"
+    d = repr(D)
+    return f"""{_PAGES_CTE},
+        pts AS (
+          SELECT url, lat_e6/1e6 * {d} AS latr, lng_e6/1e6 * {d} AS lngr
+          FROM pages WHERE lat_e6 IS NOT NULL),
+        p3 AS (
+          SELECT url,
+            cos(lngr) * cos(latr) AS px,
+            sin(lngr) * cos(latr) AS py,
+            sin(latr) AS pz
+          FROM pts),
+        pab AS (
+          SELECT url, px, py, pz,
+            {oy!r} * pz - {oz!r} * py AS abx,
+            {oz!r} * px - {ox!r} * pz AS aby,
+            {ox!r} * py - {oy!r} * px AS abz
+          FROM p3),
+        edges(cx, cy, cz, dx, dy, dz, nx, ny, nz, dea) AS (VALUES {rows}),
+        wind AS (
+          SELECT p.url,
+            SUM(CASE WHEN {acb} != 0 AND {acb} = {bda}
+                      AND {acb} = {cbd} AND {acb} = {dac}
+                THEN 1 ELSE 0 END) AS w
+          FROM pab p CROSS JOIN edges e GROUP BY p.url)
+        SELECT url, 'bigpoly_c8' AS tile_id FROM wind
+        WHERE ((w % 2 = 1) != {parity})"""
 
 
 def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
@@ -544,6 +722,8 @@ def oracle_sql() -> dict[str, str]:
               FROM pages) WHERE rn = 1""",
         "rect_tag": f"{_PAGES_CTE} " + " UNION ALL ".join(rect_parts),
         "pip_tag": f"{_PAGES_CTE} " + " UNION ALL ".join(pip_parts),
+        "pip_big": _pip_big_oracle_sql(),
+        "polyline_clip": _polyline_clip_oracle_sql(),
         "cap_tag": f"""{_PAGES_CTE}
             SELECT url, 'cap_c12' AS tile_id FROM pages
             WHERE lat_e6 IS NOT NULL AND
@@ -698,6 +878,31 @@ def oracle_sql() -> dict[str, str]:
               FROM sigs, (SELECT unnest(generate_series(0, 11)) AS b)),
             q AS (SELECT vec_id AS query_id, embedding AS query_vec, bucket
                   FROM vbands WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT p.query_id, s.vec_id, s.embedding, p.query_vec
+              FROM vbands s JOIN q p ON s.bucket = p.bucket),
+            sims AS (
+              SELECT query_id, vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(query_vec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(query_vec AS DOUBLE[]), CAST(query_vec AS DOUBLE[])))), 9)
+                  AS sim
+              FROM cand)
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS rank FROM sims)
+            WHERE rank <= 5""",
+        "ann_lsh_self": f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding,
+                ({_lsh_sig_duckdb('embedding', 36)}) AS sig
+              FROM embeddings),
+            vbands AS (
+              SELECT vec_id, embedding,
+                CAST(b AS STRING) || ':' || substr(sig, b * 3 + 1, 3) AS bucket
+              FROM sigs, (SELECT unnest(generate_series(0, 11)) AS b)),
+            q AS (SELECT vec_id AS query_id, embedding AS query_vec, bucket
+                  FROM vbands),
             cand AS (
               SELECT DISTINCT p.query_id, s.vec_id, s.embedding, p.query_vec
               FROM vbands s JOIN q p ON s.bucket = p.bucket),

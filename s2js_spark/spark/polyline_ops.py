@@ -1,0 +1,137 @@
+"""Distributed polyline clipping against convex tiles — pure SQL.
+
+For a CONVEX spherical polygon (interior = intersection of half-spaces
+n_i . p > 0, the same edge planes the pip oracle uses), clipping a
+geodesic arc A->B reduces to 1-D interval clipping on the CHORD
+parameter t of P(t) = A + t(B-A): the arc point is normalize(P(t)) and
+plane signs are scale-invariant, so n.P(t) = 0 marks exactly the arc's
+boundary crossings, and n.P(t) is LINEAR in t:
+
+    t_i = (n_i . A) / (n_i . A - n_i . B)      (Liang-Barsky on planes)
+
+    lo = max(0, t_i over entering planes fa<0<=fb)
+    hi = min(1, t_i over leaving  planes fa>=0>fb)
+    empty iff any plane has fa<0 and fb<0, or lo >= hi
+
+Everything is +,-,*,/ and least/greatest over plan-time plane literals
+— one whole-stage-codegen map over the segments, no shuffle, no UDF;
+at 10^12 segments this runs at scan speed. The same expression text
+runs in DuckDB (dialect differs only in double-literal spelling),
+giving the oracle; outputs are rounded to 1e-6 so DuckDB's
+multiply-add contraction (~ulp drift) cannot flip a hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+_D = math.pi / 180.0
+
+
+def convex_planes(ring: list[list[float]]) -> np.ndarray:
+    """(n,3) interior-side edge-plane normals C x D for a closed CCW
+    GeoJSON ring ([lng, lat] degrees, first == last)."""
+    lngs = np.array([v[0] for v in ring[:-1]], dtype=np.float64) * _D
+    lats = np.array([v[1] for v in ring[:-1]], dtype=np.float64) * _D
+    x = np.cos(lats) * np.cos(lngs)
+    y = np.cos(lats) * np.sin(lngs)
+    z = np.sin(lats)
+    nx = y * np.roll(z, -1) - z * np.roll(y, -1)
+    ny = z * np.roll(x, -1) - x * np.roll(z, -1)
+    nz = x * np.roll(y, -1) - y * np.roll(x, -1)
+    return np.stack([nx, ny, nz], axis=1)
+
+
+def clip_interval_exprs(
+    planes: np.ndarray,
+    ax: str, ay: str, az: str,
+    bx: str, by: str, bz: str,
+    lit=lambda v: f"{v!r}",
+) -> tuple[str, str, str]:
+    """(keep_predicate, t0, t1) SQL text for the chord-interval clip.
+
+    ``lit`` spells a double literal for the target dialect (DuckDB:
+    duckdb_lit — scientific notation, since plain decimals are DECIMAL
+    there; Spark SQL: repr + 'D'). Fold order over planes is fixed and
+    every term is a single multiply/divide chain. Caveat (measured):
+    DuckDB CONTRACTS a*x + b*y into fused multiply-add, so the dot
+    products can drift ~1-2 ulp from the JVM's separately-rounded
+    chain — which is why the public outputs round t to 1e-6 (drift
+    ~1e-15 ⇒ cross-engine rounding-boundary collisions ~1e-6/value).
+    """
+    fas, fbs, lo_terms, hi_terms, nonempty = [], [], [], [], []
+    for k in range(planes.shape[0]):
+        nx, ny, nz = (float(v) for v in planes[k])
+        fa = f"({lit(nx)} * {ax} + {lit(ny)} * {ay} + {lit(nz)} * {az})"
+        fb = f"({lit(nx)} * {bx} + {lit(ny)} * {by} + {lit(nz)} * {bz})"
+        fas.append(fa)
+        fbs.append(fb)
+        t = f"({fa} / ({fa} - {fb}))"
+        lo_terms.append(
+            f"(CASE WHEN {fa} < {lit(0.0)} AND {fb} >= {lit(0.0)}"
+            f" THEN {t} ELSE {lit(0.0)} END)"
+        )
+        hi_terms.append(
+            f"(CASE WHEN {fa} >= {lit(0.0)} AND {fb} < {lit(0.0)}"
+            f" THEN {t} ELSE {lit(1.0)} END)"
+        )
+        nonempty.append(f"NOT ({fa} < {lit(0.0)} AND {fb} < {lit(0.0)})")
+    lo = f"greatest({lit(0.0)}, {', '.join(lo_terms)})"
+    hi = f"least({lit(1.0)}, {', '.join(hi_terms)})"
+    keep = f"(({' AND '.join(nonempty)}) AND ({lo}) < ({hi}))"
+    return keep, lo, hi
+
+
+def _xyz_exprs(lat: str, lng: str, lit) -> tuple[str, str, str]:
+    """Unit vector from degree columns, engine op order
+    (tagjoin.refine_exprs: px = cos(lngr)*cos(latr), ...)."""
+    latr = f"({lat} * {lit(_D)})"
+    lngr = f"({lng} * {lit(_D)})"
+    return (
+        f"(cos({lngr}) * cos({latr}))",
+        f"(sin({lngr}) * cos({latr}))",
+        f"sin({latr})",
+    )
+
+
+def clip_segments_convex(
+    seg: DataFrame,
+    ring: list[list[float]],
+    alat: str = "alat", alng: str = "alng",
+    blat: str = "blat", blng: str = "blng",
+) -> DataFrame:
+    """Clip geodesic segments (degree endpoint columns) against one
+    convex CCW ring: rows that intersect the tile, with chord params
+    ``t0``/``t1`` of the inside sub-arc. Map-only, zero shuffle."""
+    planes = convex_planes(ring)
+    lit = lambda v: f"{v!r}D"  # noqa: E731 - Spark double literal
+    ax, ay, az = _xyz_exprs(alat, alng, lit)
+    bx, by, bz = _xyz_exprs(blat, blng, lit)
+    keep, lo, hi = clip_interval_exprs(planes, ax, ay, az, bx, by, bz, lit)
+    out = seg.selectExpr(
+        "*", f"{keep} AS _keep", f"round({lo}, 6) AS t0", f"round({hi}, 6) AS t1"
+    )
+    return out.filter("_keep").drop("_keep")
+
+
+def duckdb_lit(v: float) -> str:
+    """Double literal for DuckDB: scientific notation parses as DOUBLE
+    (a plain decimal literal is DECIMAL there, and DECIMAL arithmetic
+    is exact — 1-ulp off the engine's double chain)."""
+    return f"{float(v):.17e}"
+
+
+def clip_oracle_exprs(
+    ring: list[list[float]], alat: str, alng: str, blat: str, blng: str
+) -> tuple[str, str, str]:
+    """The SAME clip as clip_segments_convex in DuckDB spelling:
+    (keep_predicate, round(t0,6), round(t1,6))."""
+    planes = convex_planes(ring)
+    lit = duckdb_lit
+    ax, ay, az = _xyz_exprs(alat, alng, lit)
+    bx, by, bz = _xyz_exprs(blat, blng, lit)
+    keep, lo, hi = clip_interval_exprs(planes, ax, ay, az, bx, by, bz, lit)
+    return keep, f"round({lo}, 6)", f"round({hi}, 6)"

@@ -109,6 +109,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via BANDED hyperplane LSH (OR-amplification).
 
@@ -125,6 +126,14 @@ def lsh_topk(
     embeddings (tests/test_similarity_recall.py) — which are
     near-random, the LSH worst case; clustered real embeddings sit at
     higher p where the same configuration prunes far harder.
+
+    ``broadcast_queries`` picks the join strategy: True (default) for
+    query workloads — a small query set broadcast against the corpus,
+    map-side. False for corpus-scale self-joins (semantic dedup at
+    10^12 docs, where queries ≈ vectors): a plain SHUFFLE equi-join on
+    the band key — both sides hash-partition by bucket, linear in
+    candidates, AQE handles band skew; nothing corpus-sized is ever
+    collected or broadcast.
     """
     rows_per_band = num_planes // bands
     v_sig = F.expr(lsh_signature_expr(vec_col, num_planes))
@@ -144,7 +153,7 @@ def lsh_topk(
         )
         .drop("_sig")
     )
-    joined = v.join(F.broadcast(q), "bucket")
+    joined = v.join(F.broadcast(q) if broadcast_queries else q, "bucket")
     # dedup pairs that matched in multiple bands
     w_dedup = Window.partitionBy(query_id_col, id_col).orderBy("bucket")
     cand = (

@@ -76,11 +76,28 @@ def pushdown_barrier(df: DataFrame, name: str = "_pd_barrier") -> DataFrame:
     a fixed-point blow-up measured in MINUTES of driver CPU on a
     475-row input. A Project containing one nondeterministic field is
     ineligible for pushdown (and for CollapseProject), so a cheap
-    rand() column pins the boundary. Callers drop it in their final
-    select — but only AFTER any filter it must protect (dropping
-    earlier re-merges the Projects and removes the barrier).
+    rand() column pins the boundary.
+
+    CAVEAT (measured in round 3): the barrier only holds while the
+    rand column is REFERENCED above it. ColumnPruning deletes an
+    unreferenced nondeterministic column, the Project turns
+    deterministic again, and every predicate above it is pushed with
+    full alias substitution (a 530 KB executed plan and ~2s of
+    per-execution overhead for pip_tag). Any filter meant to stay
+    above the barrier must therefore AND in ``barrier_guard(name)`` —
+    a nondeterministic always-true term referencing the column, which
+    Spark 4's rand-bound folding does not simplify (plain
+    ``rand() > -1`` IS folded; ``rand() + 1 > 0`` is not).
     """
     return df.withColumn(name, F.rand())
+
+
+def barrier_guard(name: str = "_pd_barrier") -> Column:
+    """Always-true nondeterministic predicate pinning ``name``'s
+    pushdown_barrier: rand() ∈ [0,1) so rand()+1 > 0 for every row,
+    but the reference keeps the barrier column alive and the
+    containing Filter unpushable/unsplittable past the barrier."""
+    return (F.col(name) + F.lit(1.0)) > F.lit(0.0)
 
 
 def _hilbert_exprs(f: str, i: str, j: str, t: str, out_col: str) -> list[str]:

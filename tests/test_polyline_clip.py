@@ -1,0 +1,196 @@
+"""Polyline x polygon clipping: the general edge-machinery path
+(geometry/polyline_clip.py) against the convex chord-interval path
+(spark/polyline_ops.py) and against direct containment sampling."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2js_spark.geometry.loop import Loop
+from s2js_spark.geometry.point import Point
+from s2js_spark.geometry.polygon import Polygon
+from s2js_spark.geometry.polyline import Polyline
+from s2js_spark.geometry.polyline_clip import (
+    _interp,
+    clip_polyline_to_polygon,
+)
+from s2js_spark.spark.polyline_ops import clip_interval_exprs, convex_planes
+
+D = math.pi / 180.0
+
+DIAMOND = [[8.0, 0.3], [8.9, 1.0], [8.0, 1.7], [7.1, 1.0], [8.0, 0.3]]
+
+
+def _pt(lat, lng):
+    return Point.from_latlng_radians(lat * D, lng * D)
+
+
+def _poly_from_ring(ring):
+    loop = Loop([_pt(lat, lng) for lng, lat in ring[:-1]])
+    loop.normalize()
+    return Polygon([loop])
+
+
+def _line(coords):
+    return Polyline([_pt(lat, lng) for lat, lng in coords])
+
+
+def _numpy_clip(ring, a, b):
+    """Driver-side reference of the SQL Liang-Barsky fold."""
+    planes = convex_planes(ring)
+    fa = planes @ np.array([a.x, a.y, a.z])
+    fb = planes @ np.array([b.x, b.y, b.z])
+    if np.any((fa < 0) & (fb < 0)):
+        return None
+    t = fa / (fa - fb)
+    lo = max(0.0, *(np.where((fa < 0) & (fb >= 0), t, 0.0)))
+    hi = min(1.0, *(np.where((fa >= 0) & (fb < 0), t, 1.0)))
+    return (lo, hi) if lo < hi else None
+
+
+def test_crossing_segment_matches_convex_interval():
+    poly = _poly_from_ring(DIAMOND)
+    a, b = _pt(1.0, 5.0), _pt(1.0, 11.0)  # straight through the diamond
+    pieces = clip_polyline_to_polygon(Polyline([a, b]), poly)
+    assert len(pieces) == 1
+    (piece,) = pieces
+    lo, hi = _numpy_clip(DIAMOND, a, b)
+    assert 0.0 < lo < hi < 1.0
+    want0, want1 = _interp(a, b, lo), _interp(a, b, hi)
+    assert piece.points[0].distance(want0) < 1e-12
+    assert piece.points[-1].distance(want1) < 1e-12
+
+
+def test_inside_and_outside_segments():
+    poly = _poly_from_ring(DIAMOND)
+    inside = clip_polyline_to_polygon(_line([(1.0, 7.9), (1.05, 8.1)]), poly)
+    assert len(inside) == 1 and inside[0].points[0].distance(_pt(1.0, 7.9)) < 1e-15
+    outside = clip_polyline_to_polygon(_line([(5.0, 7.9), (5.05, 8.1)]), poly)
+    assert outside == []
+
+
+def test_multi_vertex_stitching():
+    """A 3-vertex polyline whose middle vertex is inside: the two kept
+    sub-arcs share that vertex and stitch into ONE piece."""
+    poly = _poly_from_ring(DIAMOND)
+    line = _line([(1.0, 5.0), (1.0, 8.0), (2.5, 8.0)])
+    pieces = clip_polyline_to_polygon(line, poly)
+    assert len(pieces) == 1
+    assert len(pieces[0].points) == 3  # entry point, mid vertex, exit point
+
+
+def test_concave_polygon_produces_multiple_pieces():
+    """A jagged concave star: one straight segment through it enters
+    and leaves repeatedly -> several pieces, each midpoint inside,
+    each gap midpoint outside."""
+    ring = []
+    n = 16
+    for k in range(n):
+        th = 2.0 * math.pi * k / n
+        r = 1.0 + 0.6 * math.cos(4 * th)
+        ring.append([8.0 + r * math.cos(th), 1.0 + r * math.sin(th)])
+    ring.append(list(ring[0]))
+    poly = _poly_from_ring(ring)
+    a, b = _pt(1.3, 5.5), _pt(1.3, 10.5)
+    pieces = clip_polyline_to_polygon(Polyline([a, b]), poly)
+    assert len(pieces) >= 2
+    for p in pieces:
+        for i in range(len(p.points) - 1):
+            mid = _interp(p.points[i], p.points[i + 1], 0.5)
+            assert poly.contains_point(mid)
+    # gaps between consecutive pieces are outside
+    for p0, p1 in zip(pieces, pieces[1:]):
+        gap_mid = _interp(p0.points[-1], p1.points[0], 0.5)
+        assert not poly.contains_point(gap_mid)
+
+
+def test_clip_endpoints_lie_on_boundary_planes():
+    ring = DIAMOND
+    poly = _poly_from_ring(ring)
+    planes = convex_planes(ring)
+    a, b = _pt(0.2, 7.0), _pt(1.9, 9.2)
+    pieces = clip_polyline_to_polygon(Polyline([a, b]), poly)
+    assert len(pieces) == 1
+    for endpoint in (pieces[0].points[0], pieces[0].points[-1]):
+        d = np.abs(planes @ np.array([endpoint.x, endpoint.y, endpoint.z]))
+        assert d.min() < 1e-13  # on some edge plane
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_segments_agree_with_interval_clip(seed):
+    """Fuzz: the general edge-machinery clip and the convex interval
+    clip agree on piece COUNT and endpoints for random segments."""
+    rng = np.random.RandomState(seed)
+    poly = _poly_from_ring(DIAMOND)
+    for _ in range(50):
+        lat0, lng0 = rng.uniform(-2, 4), rng.uniform(4, 12)
+        lat1, lng1 = rng.uniform(-2, 4), rng.uniform(4, 12)
+        a, b = _pt(lat0, lng0), _pt(lat1, lng1)
+        pieces = clip_polyline_to_polygon(Polyline([a, b]), poly)
+        ref = _numpy_clip(DIAMOND, a, b)
+        if ref is None:
+            assert pieces == []
+            continue
+        lo, hi = ref
+        assert len(pieces) == 1
+        assert pieces[0].points[0].distance(_interp(a, b, lo)) < 1e-11
+        assert pieces[0].points[-1].distance(_interp(a, b, hi)) < 1e-11
+
+
+def test_sql_exprs_match_numpy_fold():
+    """The generated SQL text (DuckDB dialect) reproduces the numpy
+    fold bit-for-bit on concrete endpoints."""
+    import duckdb
+
+    from s2js_spark.spark.polyline_ops import duckdb_lit
+
+    planes = convex_planes(DIAMOND)
+    keep, lo, hi = clip_interval_exprs(
+        planes, "ax", "ay", "az", "qx", "qy", "qz", lit=duckdb_lit
+    )
+    rng = np.random.RandomState(7)
+    rows = []
+    for _ in range(200):
+        a = _pt(rng.uniform(-2, 4), rng.uniform(4, 12))
+        b = _pt(rng.uniform(-2, 4), rng.uniform(4, 12))
+        rows.append((a, b))
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({a.x!r}, {a.y!r}, {a.z!r}, {b.x!r}, {b.y!r}, {b.z!r})" for a, b in rows
+    )
+    got = con.execute(
+        f"SELECT {keep}, {lo}, {hi} FROM ("
+        f"  SELECT CAST(ax AS DOUBLE) ax, CAST(ay AS DOUBLE) ay,"
+        f"         CAST(az AS DOUBLE) az, CAST(qx AS DOUBLE) qx,"
+        f"         CAST(qy AS DOUBLE) qy, CAST(qz AS DOUBLE) qz"
+        f"  FROM (VALUES {values}) AS t(ax,ay,az,qx,qy,qz))"
+    ).fetchall()
+    def scalar_clip(a, b):
+        # EXACT SQL op order: nx*x + ny*y + nz*z left-to-right
+        lo_v, hi_v, empty = 0.0, 1.0, False
+        for k in range(planes.shape[0]):
+            nx, ny, nz = (float(v) for v in planes[k])
+            fa = nx * a.x + ny * a.y + nz * a.z
+            fb = nx * b.x + ny * b.y + nz * b.z
+            if fa < 0 and fb < 0:
+                empty = True
+            t = fa / (fa - fb)
+            if fa < 0 and fb >= 0:
+                lo_v = max(lo_v, t)
+            if fa >= 0 and fb < 0:
+                hi_v = min(hi_v, t)
+        return None if (empty or lo_v >= hi_v) else (lo_v, hi_v)
+
+    for (a, b), (k, lo_v, hi_v) in zip(rows, got):
+        ref = scalar_clip(a, b)
+        if ref is None:
+            assert not k
+        else:
+            assert k
+            # DuckDB contracts a*x+b*y into FMA -> up to ~2 ulp drift
+            # vs the separately-rounded chain; the operator rounds its
+            # public t0/t1 to 1e-6 precisely so this can't flip hashes
+            assert abs(lo_v - ref[0]) < 1e-12 and abs(hi_v - ref[1]) < 1e-12

@@ -54,6 +54,36 @@ def test_lsh_candidate_pruning_measured(spark):
     assert frac < 0.8
 
 
+def test_lsh_self_join_shape(spark):
+    """Corpus-scale self-join (queries ≈ vectors, broadcast_queries=
+    False): identical answers to the broadcast path, and the static
+    plan must NOT force a broadcast of either side — the band-key join
+    is a plain shuffle equi-join (AQE may still locally convert small
+    sides at runtime; what matters at 10^12 docs is that the PLAN
+    never collects the corpus)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    shuffled = lsh_topk(
+        spark, emb, queries, k=5, num_planes=36, bands=12, broadcast_queries=False
+    )
+    # no broadcast HINT in the optimized logical plan
+    logical = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower()
+    got = {(r.query_id, r.vec_id, r.rank) for r in shuffled.collect()}
+    bc = lsh_topk(
+        spark, emb, queries, k=5, num_planes=36, bands=12, broadcast_queries=True
+    )
+    want = {(r.query_id, r.vec_id, r.rank) for r in bc.collect()}
+    assert got == want
+    # every vector self-matches at rank 1
+    n = emb.count()
+    top1 = shuffled.filter(F.col("rank") == 1)
+    assert top1.count() == n
+    assert top1.filter(F.col("query_id") == F.col("vec_id")).count() == n
+
+
 def test_lsh_no_duplicate_pairs_and_self_match(spark):
     """Band-overlap candidates are deduped; every query finds itself
     at rank 1 with sim 1.0 (its own bands always match)."""

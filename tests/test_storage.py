@@ -1,0 +1,118 @@
+"""Bucketed storage layout: exchange-free url-dedup (SURVEY §4.2).
+
+The round-2 cluster scaling phase measured the flagship's one shuffle
+(the url-dedup exchange) as the non-scaling term. These tests prove
+the designed fix: a pages table stored hash-clustered by url makes
+``dedup_latest``'s window run with ZERO Exchange in the physical plan
+while producing exactly the unbucketed answer, and the layout survives
+re-attachment from a fresh catalog (the multi-session scaling phase).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2js_spark.spark.pipeline import dedup_latest, extract_geotags
+from s2js_spark.spark.session import get_session
+from s2js_spark.spark.storage import (
+    ensure_bucketed,
+    no_exchange_before_window,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _pages_df(spark):
+    return spark.range(2000).select(
+        F.concat(F.lit("https://crawl.test/u"), (F.col("id") % 700).cast("string")).alias("url"),
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(F.col("id") * 37 % 99991).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><meta name="geo.position" content="'),
+                ((F.col("id") % 120) - 60.0).cast("double").cast("string"),
+                F.lit(";"),
+                ((F.col("id") % 300) - 150.0).cast("double").cast("string"),
+                F.lit('"><body>t</body></html>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bucketed") / "pages")
+    shutil.rmtree(path, ignore_errors=True)
+    df = _pages_df(spark)
+    tbl = ensure_bucketed(spark, lambda: df, path, "pages_bucketed_test", "url", 8)
+    yield tbl, path
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
+
+
+def test_bucketed_dedup_has_no_exchange(spark, bucketed):
+    tbl, _ = bucketed
+    dd = dedup_latest(tbl)
+    assert no_exchange_before_window(dd)
+    # sanity: the unbucketed plan DOES have an exchange (the test means something)
+    assert not no_exchange_before_window(dedup_latest(_pages_df(spark)))
+
+
+def test_bucketed_dedup_matches_unbucketed(spark, bucketed):
+    tbl, _ = bucketed
+    got = sorted(
+        (r["url"], r["doc_id"]) for r in dedup_latest(tbl).select("url", "doc_id").collect()
+    )
+    want = sorted(
+        (r["url"], r["doc_id"])
+        for r in dedup_latest(_pages_df(spark)).select("url", "doc_id").collect()
+    )
+    assert got == want
+    assert len(got) == 700
+
+
+def test_reattach_from_fresh_catalog(spark, bucketed):
+    tbl, path = bucketed
+    spark.sql("DROP TABLE pages_bucketed_test")  # simulate a fresh session
+    tbl2 = ensure_bucketed(
+        spark, lambda: 1 / 0, path, "pages_bucketed_test", "url", 8
+    )  # df_builder must NOT be called: layout exists
+    dd = dedup_latest(tbl2)
+    assert no_exchange_before_window(dd)
+    assert dd.count() == 700
+
+
+def test_full_flagship_prefix_is_exchange_free(spark, bucketed):
+    """scan -> geotag regex -> dedup window: zero shuffles end-to-end."""
+    tbl, _ = bucketed
+    dd = dedup_latest(extract_geotags(tbl))
+    assert no_exchange_before_window(dd)
+    n = dd.filter(F.col("lat").isNotNull()).count()
+    assert n == 700
+
+
+def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
+    path = str(tmp_path / "pg")
+    write_bucketed(_pages_df(spark), path, "pages_bucket_files_test", "url", 8)
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(f).startswith("_")
+    ]
+    assert len(files) == 8
+    spark.sql("DROP TABLE IF EXISTS pages_bucket_files_test")

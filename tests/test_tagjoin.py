@@ -100,6 +100,52 @@ def test_certified_fraction_is_total_on_organic_data(spark):
     assert cand.filter(F.col("_uncert_poly")).count() == 0
 
 
+def test_big_polygon_aggregate_path_matches_kernel(spark):
+    """The 240-edge concave tile exceeds MAX_INLINE_EDGES, so its
+    winding runs through the array-aggregate fallback — must agree
+    with the Arrow-kernel path and need zero exact residuals on the
+    organic corpus."""
+    import __spark_entry__ as e
+    from s2js_spark.spark.pages import pages
+    from s2js_spark.spark.pipeline import extract_geotags
+    from s2js_spark.spark.tagjoin import MAX_INLINE_EDGES
+
+    ts = build_tileset(e.BIG_PIP_TILES, max_cells=64)
+    n_edges = int(ts.edge_off[1] - ts.edge_off[0])
+    assert n_edges > MAX_INLINE_EDGES  # really drives the fallback
+
+    geo = extract_geotags(pages(spark, SF)).filter(F.col("lat").isNotNull())
+    geo = geo.select("url", "lat", "lng")
+    jvm = _pairs_set(tag_tiles_pairs(spark, geo, ts))
+    kernel = _pairs_set(
+        tag_tiles(spark, geo, ts).select("url", F.explode("tile_idx").alias("tile_i"))
+    )
+    assert jvm == kernel
+    assert len(jvm) > 0
+    cand = tag_candidates(spark, geo, ts)
+    assert cand.filter(F.col("_uncert_poly")).count() == 0
+
+
+def test_pairs_plan_stays_compact(spark):
+    """Regression guard for the round-3 barrier fix: the refinement
+    stack must appear ONCE in the executed plan (attribute references
+    in the decision filter / residual UDF), not alias-substituted into
+    the covering-join condition — that blow-up measured 530 KB of plan
+    and ~2s of fixed per-execution cost."""
+    from s2js_spark.spark.pages import pages
+    from s2js_spark.spark.pipeline import extract_geotags
+
+    ts = _tileset()
+    geo = extract_geotags(pages(spark, SF)).filter(F.col("lat").isNotNull())
+    pairs = tag_tiles_pairs(spark, geo.select("url", "lat", "lng"), ts)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000
+    # decision inputs reach the residual UDF as attributes, not
+    # re-inlined expressions
+    udf_line = next(l for l in plan.splitlines() if "ArrowEvalPython" in l)
+    assert len(udf_line) < 2_000
+
+
 def test_rect_cap_sql_bitwise_vs_kernel(spark):
     """Dense sample near rect and cap boundaries: SQL refinement uses
     the same correctly-rounded op order as the kernel, so membership
