@@ -41,6 +41,24 @@ def _neighborhood_cells(lat: pd.Series, lng: pd.Series, level: pd.Series) -> pd.
     return pd.Series([list(dict.fromkeys(row)) for row in out])
 
 
+def _estimate_count(df: DataFrame, sample_partitions: int = 4) -> int:
+    """Row-count estimate from at most ``sample_partitions`` partitions
+    (sc.runJob on a partition subset — no full scan). Exact when the
+    DataFrame has that few partitions."""
+    rdd = df.rdd
+    n_parts = rdd.getNumPartitions()
+    if n_parts == 0:
+        return 0
+    take = min(sample_partitions, n_parts)
+    counts = rdd.context.runJob(
+        rdd, lambda it: [sum(1 for _ in it)], range(take)
+    )
+    total = sum(counts)
+    if take == n_parts:
+        return total
+    return int(total / take * n_parts)
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -56,8 +74,14 @@ def knn_join(
     fall back to brute force automatically.
     """
     if level is None:
-        # aim for ~4k points per cell-neighborhood; level from point count
-        n = points.count()
+        # aim for ~4k points per cell-neighborhood; level from an
+        # ESTIMATED point count — counting a handful of partitions and
+        # extrapolating (round 2 ran a FULL points.count() pre-pass
+        # here; at 100 TB that is an extra scan of the corpus before
+        # the join even starts). The level only needs the right order
+        # of magnitude: correctness is level-independent via the
+        # certified brute-force escalation below.
+        n = _estimate_count(points)
         level = max(2, min(16, int(math.log(max(n, 1) / 32.0 + 1, 4)) + 4))
 
     pts = points.withColumn(
@@ -152,7 +176,78 @@ def polygon_pair_join(
     return out
 
 
+def rect_intersects_polygon(rect, poly) -> bool:
+    """EXACT rect/polygon intersection, the same recipe as the
+    reference's Rect.intersects(Cell) (Rect.ts:399-447) generalized to
+    polygon loops: vertex containment both ways, then boundary
+    crossings of every polygon edge against the rect's two meridian
+    edges (geodesics, intersects_lng_edge) and two latitude edges
+    (small circles — curved relative to geodesics,
+    intersects_lat_edge)."""
+    from ..geometry.interval import S1Interval
+    from ..geometry.latlng import LatLng
+    from ..geometry.rect import intersects_lat_edge, intersects_lng_edge
+
+    if rect.is_empty():
+        return False
+    for loop in poly.loops:
+        for v in loop.vertices:
+            if rect.contains_latlng(LatLng.from_point(v)):
+                return True
+    for i in range(4):
+        if poly.contains_point(rect.vertex(i).to_point()):
+            return True
+    if not rect.intersects(poly.rect_bound()):
+        return False
+    for loop in poly.loops:
+        n = len(loop.vertices)
+        for i in range(n):
+            a = loop.vertices[i]
+            b = loop.vertices[(i + 1) % n]
+            lla = LatLng.from_point(a)
+            llb = LatLng.from_point(b)
+            edge_lng = S1Interval.from_endpoints(lla.lng, llb.lng)
+            if not rect.lng.intersects(edge_lng):
+                continue
+            if edge_lng.contains(rect.lng.lo) and intersects_lng_edge(
+                a, b, rect.lat, rect.lng.lo
+            ):
+                return True
+            if edge_lng.contains(rect.lng.hi) and intersects_lng_edge(
+                a, b, rect.lat, rect.lng.hi
+            ):
+                return True
+            if intersects_lat_edge(a, b, rect.lat.lo, rect.lng):
+                return True
+            if intersects_lat_edge(a, b, rect.lat.hi, rect.lng):
+                return True
+    return False
+
+
+def cap_intersects_polygon(cap, poly) -> bool:
+    """EXACT cap/polygon intersection: center containment or any
+    boundary edge within the cap's angular radius
+    (edge_distances.distance_from_segment)."""
+    from ..geometry.edge_distances import distance_from_segment
+
+    if poly.contains_point(cap.center):
+        return True
+    r = cap.radius()
+    for loop in poly.loops:
+        n = len(loop.vertices)
+        for i in range(n):
+            if (
+                distance_from_segment(
+                    cap.center, loop.vertices[i], loop.vertices[(i + 1) % n]
+                )
+                <= r
+            ):
+                return True
+    return False
+
+
 def _shapes_intersect(a, b) -> bool:
+    from ..geometry.cap import Cap
     from ..geometry.polygon import Polygon
     from ..geometry.rect import Rect
 
@@ -160,7 +255,16 @@ def _shapes_intersect(a, b) -> bool:
         return a.intersects(b)
     if isinstance(a, Rect) and isinstance(b, Rect):
         return a.intersects(b)
-    # mixed kinds: conservative bound check then sampled refinement
+    if isinstance(a, Cap) and isinstance(b, Cap):
+        return a.intersects(b)
+    for x, y in ((a, b), (b, a)):
+        if isinstance(x, Rect) and isinstance(y, Polygon):
+            return rect_intersects_polygon(x, y)
+        if isinstance(x, Cap) and isinstance(y, Polygon):
+            return cap_intersects_polygon(x, y)
+    # cap x rect: conservative bound check (APPROXIMATE — may report
+    # touching bounds as intersecting; no exact cap/rect predicate in
+    # the reference either)
     ra = a.rect_bound() if hasattr(a, "rect_bound") else None
     rb = b.rect_bound() if hasattr(b, "rect_bound") else None
     if ra is not None and rb is not None and not ra.intersects(rb):

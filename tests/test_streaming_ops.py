@@ -97,6 +97,76 @@ def test_sessionize_events_closed_sessions(spark, tmp_path):
     assert ("view", 100.0, 100.0, 1, 1.0) in sessions
 
 
+def test_sessionize_vectorized_matches_scalar_reference(spark, tmp_path):
+    """Fuzz the vectorized batch interior (cumulative gap split +
+    reduceat) against a plain scalar sessionizer, across MULTIPLE
+    micro-batches so the state/batch seam (carried-session merge and
+    carried-session close) is exercised."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gap = 100.0
+    rows = []
+    for etype in ("a", "b"):
+        t = 0.0
+        for _ in range(300):
+            t += float(rng.choice([1.0, 5.0, 250.0], p=[0.6, 0.3, 0.1]))
+            rows.append((etype, t, float(rng.randint(1, 5))))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts_sec", "value"])
+
+    # scalar reference (closed sessions only — the open tail stays in
+    # state because no timeout fires under availableNow)
+    want = set()
+    open_tail = {}
+    for etype, grp in pdf.groupby("event_type"):
+        g = grp.sort_values("ts_sec")
+        s0 = s1 = None
+        n, sv = 0, 0.0
+        for t, v in zip(g["ts_sec"], g["value"]):
+            if s0 is None:
+                s0, s1, n, sv = t, t, 1, v
+            elif t - s1 > gap:
+                want.add((etype, s0, s1, n, sv))
+                s0, s1, n, sv = t, t, 1, v
+            else:
+                s1, n, sv = t, n + 1, sv + v
+        open_tail[etype] = (s0, s1, n, sv)
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1): the split
+    # lands mid-stream, so batch 2 both merges into and closes carried
+    # sessions
+    src = str(tmp_path / "ev_fuzz")
+    half = len(pdf) // 2
+    pdf_sorted = pdf.sort_values("ts_sec").reset_index(drop=True)
+    spark.createDataFrame(pdf_sorted.iloc[:half]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf_sorted.iloc[half:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        # huge timeout: open tails must NOT flush mid-test even when a
+        # slow run spaces the micro-batches > the default 30s apart
+        sessionize_events(stream, gap_seconds=gap, timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sess_fuzz")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_fuzz").collect()
+    }
+    assert got == want
+
+
 def test_sessionize_events_streaming_with_timeout(spark, tmp_path):
     """On a stream, the final open session flushes via the processing
     -time timeout after the source runs dry."""
