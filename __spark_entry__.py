@@ -422,6 +422,21 @@ def _q_ann_lsh_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup decisions: banded-LSH self-join
+    candidates -> exact cosine >= 0.35 -> connected components
+    (min-label propagation). (vec_id, rep, keep)."""
+    from s2js_spark.spark.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(spark, emb, threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rep").cast("long").alias("rep"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2js_spark.spark.multimodal import extract_features, synth_media
 
@@ -489,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_self": _q_ann_lsh_self,
+        "semantic_dedup": _q_semantic_dedup,
         "media_features": _q_media_features,
         "events_window": _q_events_window,
         "tpch_q1": _q_tpch_q1,
@@ -917,6 +933,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY sim DESC, vec_id) AS rank FROM sims)
             WHERE rank <= 5""",
+        "semantic_dedup": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT vec_id, embedding,
+                ({_lsh_sig_duckdb('embedding', 36)}) AS sig
+              FROM embeddings),
+            vbands AS (
+              SELECT vec_id, embedding,
+                CAST(b AS STRING) || ':' || substr(sig, b * 3 + 1, 3) AS bucket
+              FROM sigs, (SELECT unnest(generate_series(0, 11)) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+              FROM vbands a JOIN vbands b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            sims AS (
+              SELECT ida, idb,
+                round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 9)
+                  AS sim
+              FROM pairs
+              JOIN embeddings x ON x.vec_id = ida
+              JOIN embeddings y ON y.vec_id = idb),
+            e0 AS (SELECT ida, idb FROM sims WHERE sim >= 0.35),
+            edges AS (SELECT ida AS a, idb AS b FROM e0
+                      UNION SELECT idb AS a, ida AS b FROM e0),
+            reach AS (
+              SELECT vec_id AS src, vec_id AS dst FROM embeddings
+              UNION
+              SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+            SELECT src AS vec_id, min(dst) AS rep,
+              CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM reach GROUP BY src""",
         "media_features": """
             SELECT doc_id AS media_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -169,3 +169,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    num_planes: int = 36,
+    bands: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct unordered candidate pairs (id_a < id_b, sim) from the
+    banded-LSH SELF-join: both sides explode into band buckets and
+    shuffle-equi-join on the bucket key — linear in candidates,
+    nothing corpus-sized broadcast. ``sim`` is the 1e-9-rounded cosine
+    (reproducible across engines)."""
+    sig = F.expr(lsh_signature_expr(vec_col, num_planes))
+    rows_per_band = num_planes // bands
+    banded = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_sig", sig)
+        .withColumn(
+            "bucket", F.explode(_band_keys(F.col("_sig"), rows_per_band, bands, False))
+        )
+        .drop("_sig")
+    )
+    left = banded.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "_va", "_vb")
+        .dropDuplicates(["_ida", "_idb"])
+    )
+    return pairs.select(
+        "_ida", "_idb", F.expr(cosine_expr("_va", "_vb")).alias("sim")
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    num_planes: int = 36,
+    bands: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding-cosine near-dup DECISIONS: (id, rep, keep).
+
+    The corpus-scale semantic-dedup pipeline: banded-LSH self-join
+    candidates (lsh_candidate_pairs — approximate candidate recall,
+    like every LSH dedup at 10^12 docs), exact cosine filter at
+    ``threshold``, then connected components by min-label propagation
+    (textops.min_label_components). Deterministic and SQL-expressible,
+    so the DuckDB oracle (recursive-CTE transitive closure over the
+    same edge set) verifies it hash-exactly."""
+    from .textops import min_label_components
+
+    edges = (
+        lsh_candidate_pairs(
+            vectors, num_planes=num_planes, bands=bands,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("_ida").alias("_a"), F.col("_idb").alias("_b"))
+    )
+    nodes = vectors.select(id_col).distinct()
+    return min_label_components(nodes, edges, id_col, max_iter)

@@ -192,6 +192,22 @@ def minhash_dedup(
         .select(F.col(key_col).alias("_a"), F.col("_rep").alias("_b"))
         .distinct()
     )
+    return min_label_components(
+        df.select(key_col).distinct(), star, key_col, max_iter
+    )
+
+
+def min_label_components(
+    nodes: DataFrame, star: DataFrame, key_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation,
+    DataFrames only (no driver-side graph): (key, rep, keep) where
+    ``rep`` is the component's smallest key. ``nodes`` is one distinct
+    key column; ``star`` is (_a, _b) edges (any orientation — the
+    reverse direction is added here). O(component diameter) rounds,
+    each one shuffle on the edge key — the standard large-scale CC
+    shape. Shared by minhash_dedup (text near-dups) and
+    similarity.semantic_dedup (embedding near-dups)."""
     # localCheckpoint (not persist): each round's labels feed the next
     # round's joins, so without lineage truncation the logical plan
     # doubles per iteration and the driver OOMs just PRINTING it. On a
@@ -200,11 +216,7 @@ def minhash_dedup(
         star.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).localCheckpoint()
 
-    labels = (
-        df.select(key_col).distinct()
-        .withColumn("_lbl", F.col(key_col))
-        .localCheckpoint()
-    )
+    labels = nodes.withColumn("_lbl", F.col(key_col)).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["_b"] == labels[key_col])

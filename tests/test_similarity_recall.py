@@ -84,6 +84,43 @@ def test_lsh_self_join_shape(spark):
     assert top1.filter(F.col("query_id") == F.col("vec_id")).count() == n
 
 
+def test_semantic_dedup_matches_union_find(spark):
+    """Embedding near-dup decisions: the DataFrame-only min-label
+    propagation must equal a driver-side union-find over the exact
+    same (LSH candidate, sim >= threshold) edge set."""
+    from s2js_spark.spark.similarity import lsh_candidate_pairs, semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thr = 0.35
+    edges = [
+        (r._ida, r._idb)
+        for r in lsh_candidate_pairs(emb).filter(F.col("sim") >= thr).collect()
+    ]
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+
+    got = {r.vec_id: (r.rep, r.keep) for r in semantic_dedup(spark, emb, threshold=thr).collect()}
+    assert set(got) == set(want)
+    for i, rep in want.items():
+        assert got[i][0] == rep
+        assert got[i][1] == (1 if rep == i else 0)
+    # non-trivial structure: some merges happened, not everything merged
+    n_comp = len({r for r, _ in got.values()})
+    assert 1 < n_comp < len(ids)
+
+
 def test_lsh_no_duplicate_pairs_and_self_match(spark):
     """Band-overlap candidates are deduped; every query finds itself
     at rank 1 with sim 1.0 (its own bands always match)."""

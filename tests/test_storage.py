@@ -103,6 +103,29 @@ def test_full_flagship_prefix_is_exchange_free(spark, bucketed):
     assert n == 700
 
 
+def test_bucketed_join_is_colocated(spark, bucketed, tmp_path):
+    """Two tables bucketed by url join WITHOUT any shuffle Exchange —
+    the co-located join the layout buys for free (page table x per-url
+    metadata at 10^12 docs)."""
+    tbl, _ = bucketed
+    meta = spark.range(400).select(
+        F.concat(F.lit("https://crawl.test/u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 7).alias("score"),
+    )
+    path = str(tmp_path / "meta")
+    ensure_bucketed(spark, lambda: meta, path, "meta_bucketed_test", "url", 8)
+    joined = spark.table("pages_bucketed_test").join(
+        spark.table("meta_bucketed_test").hint("merge"), "url"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        line.strip().lstrip("+-:* ").startswith("Exchange")
+        for line in plan.splitlines()
+    ), plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS meta_bucketed_test")
+
+
 def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
     path = str(tmp_path / "pg")
     write_bucketed(_pages_df(spark), path, "pages_bucket_files_test", "url", 8)
