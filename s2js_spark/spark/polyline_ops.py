@@ -135,3 +135,58 @@ def clip_oracle_exprs(
     bx, by, bz = _xyz_exprs(blat, blng, lit)
     keep, lo, hi = clip_interval_exprs(planes, ax, ay, az, bx, by, bz, lit)
     return keep, f"round({lo}, 6)", f"round({hi}, 6)"
+
+
+def clip_polylines(
+    df: DataFrame,
+    polygon,
+    line_id: str = "line_id",
+    lats_col: str = "lats",
+    lngs_col: str = "lngs",
+) -> DataFrame:
+    """Distributed GENERAL polyline clipping (concave polygons, holes):
+    each row is a polyline (degree arrays); the polygon ships once per
+    executor via broadcast; geometry/polyline_clip.py runs per row in
+    Arrow batches (mapInPandas). Output: one row per clipped piece
+    (line_id, piece, plats, plngs). Map-only — no shuffle; the scale
+    story is rows/sec per core, appropriate for the boundary-producing
+    op the convex SQL path cannot express."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(polygon)
+    out_schema = (
+        f"{line_id} long, piece int, plats array<double>, plngs array<double>"
+    )
+
+    def run(batches):
+        from ..geometry.latlng import LatLng
+        from ..geometry.point import Point
+        from ..geometry.polyline import Polyline
+        from ..geometry.polyline_clip import clip_polyline_to_polygon
+
+        poly = bc.value
+        d = math.pi / 180.0
+        for pdf in batches:
+            rows = []
+            for lid, lats, lngs in zip(pdf[line_id], pdf[lats_col], pdf[lngs_col]):
+                line = Polyline(
+                    [
+                        Point.from_latlng_radians(float(la) * d, float(ln) * d)
+                        for la, ln in zip(lats, lngs)
+                    ]
+                )
+                for k, piece in enumerate(clip_polyline_to_polygon(line, poly)):
+                    lls = [LatLng.from_point(p) for p in piece.points]
+                    rows.append(
+                        (
+                            int(lid), k,
+                            [ll.lat / d for ll in lls],
+                            [ll.lng / d for ll in lls],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[line_id, "piece", "plats", "plngs"]
+            )
+
+    return df.select(line_id, lats_col, lngs_col).mapInPandas(run, out_schema)
