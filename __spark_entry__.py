@@ -139,6 +139,11 @@ def _df_cached(spark: SparkSession, key: str, builder) -> DataFrame:
     if hit is not None and hit[0]() is spark:
         return hit[1]
     df = builder()
+    # prune dead-session entries + bound the memo (plans are large)
+    for stale in [kk for kk, v in _DF_CACHE.items() if v[0]() is None]:
+        del _DF_CACHE[stale]
+    while len(_DF_CACHE) >= 64:
+        del _DF_CACHE[next(iter(_DF_CACHE))]
     _DF_CACHE[k] = (weakref.ref(spark), df)
     return df
 
@@ -450,6 +455,25 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: synthesize genuine container payloads
+    (P6 PPM images / PCM16 WAV audio) per document, then parse the
+    headers and decode the raster/samples with the dependency-free
+    NumPy codecs (multimodal.decode_ppm/decode_wav) and extract mean
+    pixel value / RMS amplitude. The DuckDB oracle recomputes the same
+    features from the closed-form sample generators, so a hash match
+    certifies the whole encode -> decode -> feature chain — any header
+    or offset bug shifts every byte and breaks it."""
+    from s2js_spark.spark.multimodal import (
+        extract_decoded_features,
+        synth_real_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_decoded_features(synth_real_media(docs))
+    return feats.select("media_id", "kind", "n_samp", "feature")
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute windows per event type (batch form of the
     streaming aggregation; see tests/test_streaming_ops.py and
@@ -506,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_self": _q_ann_lsh_self,
         "semantic_dedup": _q_semantic_dedup,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "events_window": _q_events_window,
         "tpch_q1": _q_tpch_q1,
     }
@@ -972,6 +997,30 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'video' END AS kind,
               length('BLOB:' || md5(CAST(doc_id AS STRING))) AS n_bytes
             FROM documents""",
+        "media_decode": """
+            WITH m AS (SELECT doc_id AS media_id FROM documents),
+            img AS (
+              SELECT media_id, 8 + media_id % 5 AS w, 6 + media_id % 3 AS h
+              FROM m WHERE media_id % 2 = 0),
+            img_f AS (
+              SELECT media_id, 'image' AS kind,
+                CAST(3 * w * h AS BIGINT) AS n_samp,
+                avg(CAST((media_id + t.range) % 256 AS DOUBLE)) AS feature
+              FROM img, range(0, 288) t
+              WHERE t.range < 3 * w * h
+              GROUP BY media_id, w, h),
+            aud AS (
+              SELECT media_id, 200 + media_id % 57 AS n
+              FROM m WHERE media_id % 2 = 1),
+            aud_f AS (
+              SELECT media_id, 'audio' AS kind, CAST(n AS BIGINT) AS n_samp,
+                sqrt(avg(power(
+                  CAST((media_id * 17 + t.range * 29) % 4096 - 2048
+                       AS DOUBLE), 2))) AS feature
+              FROM aud, range(0, 257) t
+              WHERE t.range < n
+              GROUP BY media_id, n)
+            SELECT * FROM img_f UNION ALL SELECT * FROM aud_f""",
         "events_window": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS win_start,
               event_type,

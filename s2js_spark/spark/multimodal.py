@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, decoded/feature-extracted via mapInPandas.
 
-The image/audio decode libraries are not available in this container,
-so the decode step is a deterministic fake behind ``FAKE_DECODE``
-(clearly marked; swap in PIL/librosa in production). The Spark-side
-plumbing — schema, Arrow batch shape, partition-stable iteration — is
-real and tested.
+Two decode tiers:
+
+- REAL (round-4): dependency-free pure-NumPy codecs for binary PPM
+  (P6) images and PCM16 WAV audio — genuine header parse + raster/
+  sample decode (``decode_ppm``/``decode_wav``), features = mean
+  pixel value / RMS amplitude, hash-verified against a DuckDB oracle
+  (the ``media_decode`` query).
+- FAKE (``FAKE_DECODE``): the heavyweight codecs (JPEG/MP3/video) are
+  not available in this container, so that decode step is a clearly
+  marked deterministic fake; swap in PIL/ffmpeg/librosa in
+  production. The Spark-side plumbing — schema, Arrow batch shape,
+  partition-stable iteration — is identical to the real tier.
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -85,6 +93,161 @@ def _decode_feature(payload: bytes, kind: str, dim: int = 8) -> np.ndarray:
     digest = hashlib.sha256(payload + kind.encode()).digest()
     vals = struct.unpack("<8I", digest[:32])
     return (np.array(vals, dtype=np.float64) / 2**32).astype(np.float32)[:dim]
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (round-4): dependency-free codecs for one container
+# per modality — binary PPM (P6) images and PCM16 WAV audio — in pure
+# NumPy/struct. Payloads are genuine container bytes (header + raw
+# data); the decoder parses the header for real (a corrupted magic or
+# truncated chunk raises), so the hash-verified feature certifies the
+# encode -> decode -> feature chain, not a digest fake. FAKE_DECODE
+# remains for the codec-less kinds (JPEG/MP3/video).
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_samp", LongType()),
+        StructField("feature", DoubleType()),
+    ]
+)
+
+
+def _ppm_bytes(m: int) -> bytes:
+    """Deterministic P6 PPM payload for media id ``m``: 8+m%5 x 6+m%3
+    RGB image whose flat pixel bytes are (m + k) % 256."""
+    w, h = 8 + m % 5, 6 + m % 3
+    pix = ((m + np.arange(3 * w * h, dtype=np.int64)) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def _wav_bytes(m: int) -> bytes:
+    """Deterministic RIFF/WAVE payload: 200+m%57 mono PCM16 samples
+    s_k = ((m*17 + k*29) % 4096) - 2048 at 8 kHz."""
+    n = 200 + m % 57
+    s = (
+        ((m * 17 + 29 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+    ).astype("<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6, maxval 255): (h, w, 3) uint8 pixels.
+    Raises ValueError on a malformed header or truncated raster."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, then ONE whitespace byte before the raster
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[i:j]))
+        i = j
+    i += 1  # the single post-maxval whitespace
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=3 * w * h, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """Parse a RIFF/WAVE container (PCM16 mono): int16 sample array.
+    Walks the chunk list for real — fmt must precede data, ids and
+    sizes are validated — so header corruption raises."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt = 12, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            audio_fmt, channels, _rate, _brate, _align, bits = fmt
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+            return np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table whose payloads are REAL container bytes: even ids
+    become P6 PPM images, odd ids PCM16 WAV clips (deterministic
+    content; see _ppm_bytes/_wav_bytes). Built in Arrow batches —
+    the writer is a separate code path from the decoder so the
+    roundtrip test certifies both."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": np.where(ids % 2 == 0, "image", "audio"),
+                    "payload": [
+                        _ppm_bytes(m) if m % 2 == 0 else _wav_bytes(m)
+                        for m in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def extract_decoded_features(df: DataFrame) -> DataFrame:
+    """REAL decode + feature per payload: mean pixel value for PPM
+    images, RMS amplitude for WAV audio. All sums are exact in float64
+    (integer-valued, < 2^53), so the feature is bit-reproducible by
+    any engine that evaluates the same closed form — the DuckDB oracle
+    for the ``media_decode`` query does exactly that."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_samp, feats = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                buf = bytes(payload)
+                if kind == "image":
+                    px = decode_ppm(buf)
+                    n_samp.append(px.size)
+                    feats.append(float(np.mean(px.astype(np.float64))))
+                else:
+                    s = decode_wav(buf).astype(np.float64)
+                    n_samp.append(s.size)
+                    feats.append(float(np.sqrt(np.mean(s * s))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_samp": np.asarray(n_samp, dtype=np.int64),
+                    "feature": np.asarray(feats, dtype=np.float64),
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:

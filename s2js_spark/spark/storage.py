@@ -110,7 +110,9 @@ def no_exchange_before_window(df: DataFrame) -> bool:
     proof obligation for the bucketed dedup path (broadcast exchanges
     don't count: they're map-side)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Tree-prefix charset includes ':' — operators under a join branch
+    # render as ':  +- Exchange ...' and must not escape detection.
     return not any(
-        line.strip().lstrip("+-* ").startswith("Exchange")
+        line.strip().lstrip("+-*: ").startswith("Exchange")
         for line in plan.splitlines()
     )

@@ -130,8 +130,18 @@ def sessionize_events(
             ts = pdf["ts_sec"].to_numpy(np.float64)
             vals = pdf["value"].to_numpy(np.float64)
             new_sess = np.empty(len(ts), dtype=bool)
-            new_sess[0] = s0 is None or (ts[0] - s1) > gap_seconds
-            np.greater(np.diff(ts), gap_seconds, out=new_sess[1:])
+            if s0 is None:
+                new_sess[0] = True
+                np.greater(np.diff(ts), gap_seconds, out=new_sess[1:])
+            else:
+                # Gap decisions must use the RUNNING max across the
+                # state seam: a late-but-within-gap event (ts <= s1)
+                # merges into the carried session, and later gaps are
+                # measured from max(s1, prior ts) — ts is sorted, so
+                # the running max of (s1, ts[0..i-1]) is exactly
+                # max(s1, ts[i-1]).
+                prev = np.maximum(np.concatenate(([s1], ts[:-1])), s1)
+                np.greater(ts - prev, gap_seconds, out=new_sess)
             sid = np.cumsum(new_sess)  # 0 = continues the open session
             # per-session aggregates via bincount/extrema on sorted ts
             starts_idx = np.flatnonzero(
@@ -145,6 +155,9 @@ def sessionize_events(
             first = int(sid[0])
             if first == 0:  # merge group 0 into the carried session
                 g_start[0] = s0
+                # Late-but-merged events may all precede the carried
+                # end; session_end is the running max, never < start.
+                g_end[0] = max(float(g_end[0]), s1)
                 g_sum[0] += sv
                 g_n[0] += n
             elif s0 is not None:  # carried session closes before batch

@@ -66,6 +66,22 @@ _D = math.pi / 180.0
 _UNCERT = 1_000_000  # accumulator stride separating crossing count / flags
 _COV_FRAME_CACHE: dict = {}
 _PAIRS_CACHE: dict = {}
+_PAIRS_CACHE_MAX = 32
+
+
+def _prune_pairs_cache() -> None:
+    """Evict entries whose tileset/session weakrefs died, then bound
+    the memo (FIFO over dict insertion order): a long-lived
+    interactive driver must not accumulate one analyzed plan per
+    distinct query shape forever."""
+    dead = [
+        k for k, v in _PAIRS_CACHE.items()
+        if v[0]() is None or v[1]() is None
+    ]
+    for k in dead:
+        del _PAIRS_CACHE[k]
+    while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+        del _PAIRS_CACHE[next(iter(_PAIRS_CACHE))]
 
 
 def covering_frames(
@@ -404,6 +420,7 @@ def tag_tiles_pairs(
         spark, df, ts, lat_col, lng_col, exact_residuals, cellid_col
     )
     if sem is not None:
+        _prune_pairs_cache()
         _PAIRS_CACHE[key] = (weakref.ref(ts), weakref.ref(spark), df, out)
     return out
 

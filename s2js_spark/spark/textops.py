@@ -169,9 +169,10 @@ def minhash_dedup(
     - candidate buckets from ``minhash_dedup_groups`` become STAR
       edges (member -> bucket-min member): linear in bucket sizes,
       same connectivity as the full clique;
-    - iterative min-label propagation to a fixed point (the classic
-      large-scale connected-components shape; O(component diameter)
-      rounds, each a shuffle on the edge key — scales linearly);
+    - iterative min-label propagation with pointer doubling to a fixed
+      point (the classic large-scale connected-components shape;
+      O(log component-diameter) rounds, each a shuffle on the edge
+      key — scales linearly);
     - ``rep`` is the lexicographically smallest key of the component;
       ``keep`` is 1 exactly for the representative row.
 
@@ -204,9 +205,14 @@ def min_label_components(
     DataFrames only (no driver-side graph): (key, rep, keep) where
     ``rep`` is the component's smallest key. ``nodes`` is one distinct
     key column; ``star`` is (_a, _b) edges (any orientation — the
-    reverse direction is added here). O(component diameter) rounds,
-    each one shuffle on the edge key — the standard large-scale CC
-    shape. Shared by minhash_dedup (text near-dups) and
+    reverse direction is added here). Each round does one
+    min-over-neighbors step AND one pointer-doubling step
+    (label <- label(label)), so convergence takes O(log diameter)
+    rounds — a 10^12-doc chain component of length 10^6 converges in
+    ~20 rounds instead of 10^6. Raises if ``max_iter`` rounds elapse
+    without reaching the fixed point (silent non-convergence would
+    return reps that disagree with the transitive-closure oracle).
+    Shared by minhash_dedup (text near-dups) and
     similarity.semantic_dedup (embedding near-dups)."""
     # localCheckpoint (not persist): each round's labels feed the next
     # round's joins, so without lineage truncation the logical plan
@@ -217,21 +223,34 @@ def min_label_components(
     ).localCheckpoint()
 
     labels = nodes.withColumn("_lbl", F.col(key_col)).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["_b"] == labels[key_col])
             .groupBy("_a")
             .agg(F.min("_lbl").alias("_nbr_lbl"))
         )
+        prop = labels.join(
+            nbr_min, labels[key_col] == nbr_min["_a"], "left"
+        ).select(
+            labels[key_col],
+            F.least(
+                F.col("_lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("_lbl"))
+            ).alias("_lbl"),
+        )
+        # Pointer doubling: _lbl <- label(_lbl). Labels are always node
+        # keys and label(y) <= y, so the step is monotone and halves
+        # the distance to the component min — O(log diameter) rounds
+        # total instead of O(diameter).
+        lbl2 = prop.select(
+            F.col(key_col).alias("_pk"), F.col("_lbl").alias("_plbl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels[key_col] == nbr_min["_a"], "left")
+            prop.join(lbl2, prop["_lbl"] == lbl2["_pk"], "left")
             .select(
-                labels[key_col],
-                F.least(
-                    F.col("_lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("_lbl"))
-                ).alias("_new_lbl"),
+                prop[key_col],
+                F.coalesce(F.col("_plbl"), prop["_lbl"]).alias("_lbl"),
             )
-            .withColumnRenamed("_new_lbl", "_lbl")
             .localCheckpoint()
         )
         changed = (
@@ -241,7 +260,14 @@ def min_label_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: no fixed point after {max_iter} rounds "
+            "(component diameter > 2^max_iter is not possible — this "
+            "indicates a label cycle bug, not slow convergence)"
+        )
     return labels.select(
         F.col(key_col),
         F.col("_lbl").alias("rep"),

@@ -167,6 +167,48 @@ def test_sessionize_vectorized_matches_scalar_reference(spark, tmp_path):
     assert got == want
 
 
+def test_sessionize_late_within_gap_across_seam(spark, tmp_path):
+    """Regression (round-4): an event arriving in a LATER micro-batch
+    with ts <= the carried session's end but within the gap must merge
+    into the carried session — gap decisions use the running max across
+    the state seam, so the operator never emits an inverted session
+    (end < start). Scenario from the round-3 review: carried
+    (s0=100, s1=100), next batch [95, 128, 1000] with gap=30 must
+    produce ONE closed session (100, 128, n=3), not an invalid
+    (100, 95, n=2) plus a spurious session at 128."""
+    src = str(tmp_path / "ev_late")
+    b1 = pd.DataFrame(
+        [("click", 100.0, 1.0)], columns=["event_type", "ts_sec", "value"]
+    )
+    b2 = pd.DataFrame(
+        [("click", 95.0, 1.0), ("click", 128.0, 1.0), ("click", 1000.0, 9.0)],
+        columns=["event_type", "ts_sec", "value"],
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_events(stream, gap_seconds=30.0, timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_late").collect()
+    }
+    assert got == {("click", 100.0, 128.0, 3, 3.0)}
+    for _, s0, s1, _, _ in got:
+        assert s1 >= s0
+
+
 def test_sessionize_events_streaming_with_timeout(spark, tmp_path):
     """On a stream, the final open session flushes via the processing
     -time timeout after the source runs dry."""
