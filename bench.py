@@ -68,11 +68,30 @@ def session(n_threads: int) -> SparkSession:
     )
 
 
-def amplified_pages(spark: SparkSession, amplify: int = None):
-    """Deterministic xAMPLIFY page replication with coordinate jitter.
+# The Zipf-city coordinates land INSIDE graded tiles (rect_c5 /
+# diamond_c8 / cap_c12), so the skewed corpus makes their covering
+# cells and tile keys genuinely hot end-to-end: hot equi-join probes,
+# hot refinement lanes, hot rollup keys.
+_GEO_PAT = r'content="-?\d+\.\d+;-?\d+\.\d+"'
+_ZIPF_CITIES = [  # (cumulative tenths, "lat;lng")
+    (3, "-20.0;-55.0"),  # 30% — inside rect_c5
+    (5, "1.0;8.0"),      # 20% — inside the diamond polygon tile
+    (6, "29.0;92.0"),    # 10% — cap_c12 center
+]
+
+
+def amplified_pages(spark: SparkSession, amplify: int = None, skew: str = None):
+    """Deterministic xAMPLIFY page replication.
 
     Stays entirely JVM-side (explode over a sequence), so amplification
     itself is cheap relative to the measured pipeline.
+
+    ``skew="zipf"`` rewrites 60% of the replicas' geotags onto 3 city
+    coordinates (30/20/10, deterministic per replica url) — the
+    Zipfian-geotag shape SURVEY §4.3 calls out. The tag join is
+    map-side (broadcast covering join + partial aggregation), so its
+    wall must be insensitive to this skew — measured and reported as
+    ``zipf_over_uniform`` beside the uniform flagship number.
     """
     p = pages(spark, SF_DIR).select("url", "warc_ts", "html", "text", "lang", "doc_id")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -88,10 +107,20 @@ def amplified_pages(spark: SparkSession, amplify: int = None):
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))))
     )
     # vary url per replica so dedup keeps realistic cardinality
-    return rep.withColumn("url", F.concat_ws("#", "url", "rep")).drop("rep")
+    rep = rep.withColumn("url", F.concat_ws("#", "url", "rep")).drop("rep")
+    if skew == "zipf":
+        page = F.decode(F.col("html"), "UTF-8")
+        h = F.pmod(F.xxhash64(F.col("url")), F.lit(10))
+        city = page
+        for cum, coords in reversed(_ZIPF_CITIES):
+            city = F.when(
+                h < cum, F.regexp_replace(page, _GEO_PAT, f'content="{coords}"')
+            ).otherwise(city)
+        rep = rep.withColumn("html", F.encode(city, "UTF-8"))
+    return rep
 
 
-def bucketed_pages(spark: SparkSession, amplify: int = None):
+def bucketed_pages(spark: SparkSession, amplify: int = None, skew: str = None):
     """The pages corpus as a STORED table, hash-clustered by url.
 
     This is the 100 TB design point (SURVEY §4.2): the crawl table
@@ -104,12 +133,13 @@ def bucketed_pages(spark: SparkSession, amplify: int = None):
     executor-count runs) re-attaches the same files via DDL.
     """
     amplify = AMPLIFY if amplify is None else amplify
-    path = f"{BUCKET_DIR}-x{amplify}"
+    sfx = f"-{skew}" if skew else ""
+    path = f"{BUCKET_DIR}-x{amplify}{sfx}"
     return ensure_bucketed(
         spark,
-        lambda: amplified_pages(spark, amplify),
+        lambda: amplified_pages(spark, amplify, skew),
         path,
-        f"pages_bucketed_x{amplify}",
+        f"pages_bucketed_x{amplify}{sfx.replace('-', '_')}",
         key="url",
         n_buckets=BUCKETS,
     )
@@ -134,7 +164,7 @@ def tileset():
     return build_tileset(tiles, max_cells=48)
 
 
-def flagship_frames(spark: SparkSession, ts, amplify: int = None):
+def flagship_frames(spark: SparkSession, ts, amplify: int = None, skew: str = None):
     """(deduped pages df, per-tile tag counts df) — the flagship plan.
 
     All-JVM and now ZERO-shuffle end-to-end: bucketed scan -> geotag
@@ -144,7 +174,7 @@ def flagship_frames(spark: SparkSession, ts, amplify: int = None):
     the exact-residual branch is off here — tests assert it is empty
     on this corpus). Only the final per-tile count aggregates across
     partitions (KBs after partial aggregation)."""
-    df = bucketed_pages(spark, amplify)
+    df = bucketed_pages(spark, amplify, skew)
     df = extract_geotags(df)
     df = dedup_latest(df)
     geo = df.select("url", "lat", "lng")
@@ -185,7 +215,8 @@ def run_query_timings(spark: SparkSession) -> dict[str, float]:
 
 
 def measure_flagship(
-    spark, ts, trials: int = 4, amplify: int = None, warmup: bool = True
+    spark, ts, trials: int = 4, amplify: int = None, warmup: bool = True,
+    skew: str = None,
 ) -> tuple[float, int]:
     """Warm-up + best-of-N flagship wall time.
 
@@ -205,7 +236,7 @@ def measure_flagship(
     n_pages = n_urls * (AMPLIFY if amplify is None else amplify)
 
     def one_run():
-        _df2, agg = flagship_frames(spark, ts, amplify)
+        _df2, agg = flagship_frames(spark, ts, amplify, skew)
         t0 = time.time()
         agg.collect()
         return time.time() - t0
@@ -347,6 +378,40 @@ def main() -> None:
         dedup_latest(extract_geotags(bucketed_pages(spark)))
     )
     best, pages_count = measure_flagship(spark, ts)
+    # Zipf-skew phase (SURVEY §4.3): same flagship, same size, but 60%
+    # of geotags concentrated in 3 hot cities that land inside graded
+    # tiles. The tag join is map-side (broadcast covering join +
+    # partial aggregation), so the wall must stay within ~10% of the
+    # uniform corpus — skew-immunity measured, not claimed. The
+    # per-cell rollup is additionally measured through the salted
+    # two-phase aggregate vs the plain groupBy (equality + plan shape
+    # are asserted in tests/test_skew_and_cover.py).
+    best_zipf, _ = measure_flagship(spark, ts, skew="zipf")
+    zipf = {
+        "flagship_sec": round(best_zipf, 3),
+        "over_uniform": round(best_zipf / best, 3),
+    }
+    from s2js_spark.spark import sqlkernels as sq
+    from s2js_spark.spark.skew import salted_agg
+    from s2js_spark.spark.tagjoin import tag_tiles_pairs as _ttp
+
+    geoz = dedup_latest(extract_geotags(bucketed_pages(spark, skew="zipf")))
+    pairsz = _ttp(
+        spark, geoz.select("url", "lat", "lng"), ts,
+        exact_residuals=False, cellid_col="cellid",
+    ).withColumn("_cell6", sq.s2_parent_sql("cellid", 6))
+    for name, frame in (
+        ("rollup_plain_sec", pairsz.groupBy("_cell6").count()),
+        ("rollup_salted_sec", salted_agg(
+            pairsz, "_cell6", [(F.count("*"), F.sum, "n")], n_salts=16)),
+    ):
+        frame.write.format("noop").mode("overwrite").save()  # warm-up
+        w = 1e9
+        for _ in range(2):
+            t0 = time.time()
+            frame.write.format("noop").mode("overwrite").save()
+            w = min(w, time.time() - t0)
+        zipf[name] = round(w, 3)
     q_times = run_query_timings(spark)
     if SCALING:
         # pre-ingest the scaling corpus with the 32-core session
@@ -374,6 +439,7 @@ def main() -> None:
         "pages": pages_count,
         "pages_per_sec": {str(CPUS): round(pages_count / best, 1)},
         "dedup_exchange_free": dedup_plan_exchange_free,
+        "zipf": zipf,
         "scaling_efficiency": cluster["scaling_efficiency"] if cluster else None,
         "machine_parallel_ceiling": ceiling,
         "scaling_vs_machine": (

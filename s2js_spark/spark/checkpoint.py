@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -146,3 +147,155 @@ def resumable_write(
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "bucket=*"))
+
+
+# ---------------------------------------------------------------------------
+# Resumable sink over the BUCKETED storage layout (round-4): the
+# scaling corpus lives as a parquet-bucketed table (storage.py) so the
+# dedup window runs Exchange-free, but the round-3 resumable sink wrote
+# a directory-partitioned layout — a 10^12-doc pipeline wants BOTH
+# resume-by-bucket and exchange-free downstream reads from the same
+# files. Here the unit of resume IS the murmur3 bucket Spark's
+# bucketed writer assigns (F.hash == Murmur3Hash(seed 42);
+# HashPartitioning.partitionIdExpression == pmod(hash, n) — asserted
+# in tests), and the finished table re-attaches via storage.
+# register_bucketed so downstream plans see HashPartitioning(key, n).
+# ---------------------------------------------------------------------------
+
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
+
+
+def _file_bucket(fn: str) -> int | None:
+    """Bucket id from a bucketed parquet file name
+    (part-00000-<uuid>_00003.c000.snappy.parquet -> 3)."""
+    m = _BUCKET_FILE_RE.search(fn)
+    return int(m.group(1)) if m else None
+
+
+def _bucketed_file_counts(path: str) -> dict[int, int]:
+    """Per-bucket row counts from parquet FOOTERS (driver-side
+    metadata only, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    if not os.path.isdir(path):
+        return counts
+    for fn in os.listdir(path):
+        if not fn.endswith(".parquet"):
+            continue
+        b = _file_bucket(fn)
+        if b is None:
+            continue
+        n = pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+        counts[b] = counts.get(b, 0) + n
+    return counts
+
+
+def resumable_write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    stage: str,
+    input_fingerprint: str,
+    key_col: str = "url",
+    n_buckets: int = 16,
+    fail_after_bucket: int | None = None,
+) -> WriteReport:
+    """Resumable write INTO a hash-clustered (bucketed) table.
+
+    Protocol (manifest = commit log, exactly like resumable_write):
+
+    1. buckets already in the manifest for (stage, input_fingerprint)
+       are committed — never touched again;
+    2. files on disk whose bucket is NOT committed are leftovers of a
+       crashed attempt (written, never manifested) — deleted before
+       rewriting, giving wholesale-replacement semantics per bucket;
+    3. one filtered pass writes only pending buckets
+       (``pmod(hash(key), n)`` matches the writer's internal bucket
+       spec bit-for-bit), appended as properly-named bucketed files;
+    4. per-bucket row counts come from the written files' footers and
+       land in the manifest.
+
+    After the final attempt the table serves Exchange-free url-keyed
+    windows/joins via ``attach_stage_bucketed`` (DDL re-attach; plan
+    shows HashPartitioning — asserted in tests/test_storage.py).
+    """
+    from .storage import _schema_ddl
+
+    spark = df.sparkSession
+    done = completed_buckets(path, stage, input_fingerprint)
+    pending = [b for b in range(n_buckets) if b not in done]
+    skipped = sorted(done)
+    if not pending:
+        return WriteReport(stage, input_fingerprint, [], skipped, 0)
+
+    # step 2: clean uncommitted leftovers of a crashed attempt
+    if os.path.isdir(path):
+        for fn in os.listdir(path):
+            if fn.endswith(".parquet"):
+                b = _file_bucket(fn)
+                if b is not None and b not in done:
+                    os.remove(os.path.join(path, fn))
+
+    # The table is created via DDL with an explicit LOCATION — an
+    # EXTERNAL table, so catalog drops (e.g. a later re-attach from a
+    # fresh session) never purge the data files. saveAsTable was NOT
+    # safe here: Spark treats it as managed and DROP TABLE deletes
+    # the committed buckets AND the manifest.
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({_schema_ddl(df)})"
+        f" USING PARQUET CLUSTERED BY ({key_col}) SORTED BY ({key_col})"
+        f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    t0 = time.time()
+    pend = df.filter(
+        F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).isin(pending)
+    )
+    (
+        pend.repartition(n_buckets, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.insertInto(table)
+    )
+    wall = round(time.time() - t0, 3)
+
+    counts = _bucketed_file_counts(path)
+    written: list[int] = []
+    total_rows = 0
+    for b in pending:
+        n = counts.get(b, 0)
+        _append_manifest(
+            path,
+            {
+                "stage": stage,
+                "input_fingerprint": input_fingerprint,
+                "bucket": b,
+                "row_count": n,
+                "wall_sec": wall,
+                "written_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            },
+        )
+        written.append(b)
+        total_rows += n
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    return WriteReport(stage, input_fingerprint, written, skipped, total_rows)
+
+
+def attach_stage_bucketed(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    schema_ddl: str,
+    key_col: str = "url",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Re-attach a completed resumable bucketed stage as a catalog
+    table whose scans report HashPartitioning(key, n) — url-keyed
+    windows and joins downstream need no Exchange."""
+    from .storage import register_bucketed
+
+    return register_bucketed(
+        spark, table, path, schema_ddl, key=key_col, n_buckets=n_buckets
+    )

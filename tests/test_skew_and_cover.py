@@ -78,3 +78,36 @@ def test_s2_cover_udf_matches_driver_coverer(spark):
         assert list(got.iloc[i]["cov"]) == want
         # coverings are already normalized
         assert list(got.iloc[i]["cov_norm"]) == want
+
+
+def test_salted_agg_plan_is_two_stage(spark):
+    """Round-4: the salted aggregate's PHYSICAL plan must show the
+    two-stage shape — a shuffle on (key, _salt) feeding a partial
+    aggregate, then a shuffle on key alone for the final aggregate —
+    so a hot Zipf city key spreads over n_salts reducers instead of
+    serializing on one."""
+    from pyspark.sql import functions as F
+
+    from s2js_spark.spark.skew import salted_agg
+
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot_city"))
+        .otherwise(F.concat(F.lit("cell"), (F.col("id") % 37).cast("string")))
+        .alias("cell"),
+        F.lit(1).alias("v"),
+    )
+    out = salted_agg(df, "cell", [(F.count("*"), F.sum, "n")], n_salts=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert any("_salt" in line for line in exchanges), plan
+    assert any(
+        "cell" in line and "_salt" not in line for line in exchanges
+    ), plan
+    # and the answer equals the plain groupBy
+    got = {(r["cell"], r["n"]) for r in out.collect()}
+    want = {
+        (r["cell"], r["count"]) for r in df.groupBy("cell").count().collect()
+    }
+    assert got == want

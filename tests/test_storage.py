@@ -139,3 +139,102 @@ def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
     ]
     assert len(files) == 8
     spark.sql("DROP TABLE IF EXISTS pages_bucket_files_test")
+
+
+def test_resumable_bucketed_write_crash_resume(spark, tmp_path):
+    """Round-4: the resumable sink and the bucketed layout are ONE
+    mechanism — crash-injected write into a hash-clustered table,
+    resume skips committed buckets and cleans uncommitted leftovers,
+    and the re-attached table serves the dedup window with zero
+    Exchange (HashPartitioning from the scan)."""
+    from s2js_spark.spark.checkpoint import (
+        attach_stage_bucketed,
+        completed_buckets,
+        manifest,
+        resumable_write_bucketed,
+    )
+    from s2js_spark.spark.storage import _schema_ddl
+
+    df = _pages_df(spark)
+    path = str(tmp_path / "stage_bucketed")
+    tbl = "stage_bucketed_test"
+    try:
+        with pytest.raises(RuntimeError, match="injected failure"):
+            resumable_write_bucketed(
+                df, path, tbl, "stageX", "fp1", key_col="url",
+                n_buckets=8, fail_after_bucket=3,
+            )
+        done = completed_buckets(path, "stageX", "fp1")
+        assert done == {0, 1, 2, 3}
+
+        rep = resumable_write_bucketed(
+            df, path, tbl, "stageX", "fp1", key_col="url", n_buckets=8
+        )
+        assert rep.buckets_skipped == [0, 1, 2, 3]
+        assert rep.buckets_written == [4, 5, 6, 7]
+
+        # manifest row counts reflect exactly the persisted files
+        per_bucket = {
+            m["bucket"]: m["row_count"]
+            for m in manifest(path)
+            if m["stage"] == "stageX"
+        }
+        assert sum(per_bucket.values()) == 2000
+
+        # idempotent: a third call writes nothing
+        rep2 = resumable_write_bucketed(
+            df, path, tbl, "stageX", "fp1", key_col="url", n_buckets=8
+        )
+        assert rep2.buckets_written == []
+
+        attached = attach_stage_bucketed(
+            spark, path, tbl, _schema_ddl(df), key_col="url", n_buckets=8
+        )
+        assert attached.count() == 2000  # no dups from the crashed attempt
+        dd = dedup_latest(attached)
+        assert no_exchange_before_window(dd)
+        assert dd.count() == 700
+        got = sorted(
+            (r["url"], r["doc_id"])
+            for r in dd.select("url", "doc_id").collect()
+        )
+        want = sorted(
+            (r["url"], r["doc_id"])
+            for r in dedup_latest(df).select("url", "doc_id").collect()
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_resumable_bucketed_filter_matches_writer_spec(spark, tmp_path):
+    """The resume filter pmod(hash(key), n) must equal the bucket id
+    Spark's bucketed writer stamps into file names — otherwise resume
+    would mix committed and uncommitted rows in one file bucket."""
+    import os
+
+    from s2js_spark.spark.checkpoint import (
+        _file_bucket,
+        resumable_write_bucketed,
+    )
+
+    df = _pages_df(spark)
+    path = str(tmp_path / "spec_check")
+    tbl = "spec_check_test"
+    try:
+        resumable_write_bucketed(
+            df, path, tbl, "s", "fp", key_col="url", n_buckets=8
+        )
+        checked = 0
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            b = _file_bucket(fn)
+            rows = spark.read.parquet(os.path.join(path, fn)).select(
+                F.pmod(F.hash(F.col("url")), F.lit(8)).alias("calc")
+            ).distinct().collect()
+            assert [r["calc"] for r in rows] == [b], fn
+            checked += 1
+        assert checked >= 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
