@@ -106,47 +106,43 @@ def minhash_dedup_groups(
     Returns (band, band_sig, key) rows for buckets with >1 member.
     """
     rows_per_band = num_hashes // bands
-    # Materialize the salted digest arrays once as columns so each md5
-    # is computed exactly once per shingle (Catalyst does not CSE
-    # across higher-order function calls).
-    # Distinct shingles first: min over a multiset equals min over the
-    # set, and word-soup text repeats shingles heavily.
+    # Round-4 shape: EXPLODE shingles -> codegen md5/substring -> MIN
+    # aggregates per key, instead of higher-order-function lambdas.
+    # HOFs (transform/array_min) evaluate interpreted per element —
+    # the signature alone measured 6.4s vs 5.1s for this shape at
+    # sf0.1 — and the old plan needed a round-robin exchange barrier
+    # plus posexplode_outer to defeat two optimizer traps (Generate
+    # inlining, InferFiltersFromGenerate) that re-inlined the HOF
+    # chain. Here the signature is a plain aggregate: when the input
+    # comes off the url-dedup window (or the bucketed table) the
+    # groupBy reuses its HashPartitioning — ZERO additional shuffle —
+    # and `_sig` is an aggregate output attribute, so nothing can be
+    # re-inlined downstream. Values are identical to the HOF form
+    # (min over the shingle multiset == min over the set; verified
+    # set-equal on sf0.1). Rows with null/empty text produce no bands
+    # (they cannot be near-dups of anything).
     sh = (
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k})))"
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
     )
-    n_salts = (num_hashes + 3) // 4
-    for salt in range(n_salts):
-        df = df.withColumn(
-            f"_d{salt}", F.expr(f"transform({sh}, s -> md5(concat('salt{salt}:', s)))")
-        )
-    mins = []
+    ex = df.select(key_col, F.explode(F.expr(sh)).alias("_s"))
+    aggs = []
     for i in range(num_hashes):
         salt, slice_i = divmod(i, 4)
-        mins.append(
-            f"array_min(transform(_d{salt}, h -> substring(h, {1 + 8 * slice_i}, 8)))"
+        digest = F.md5(F.concat(F.lit(f"salt{salt}:"), F.col("_s")))
+        aggs.append(
+            F.min(F.substring(digest, 1 + 8 * slice_i, 8)).alias(f"_m{i}")
         )
-    df = df.withColumn("_sig", F.expr(f"array({', '.join(mins)})")).select(key_col, "_sig")
-    # ROUND-ROBIN exchange barrier before the band explode. Without it
-    # the Generate node inlines the full signature chain (md5 digests
-    # included) and re-evaluates it per band row in interpreted mode —
-    # measured 84s vs 6s on sf0.1. A hash repartition on key_col would
-    # be optimizer-eliminated (the dedup window already partitions by
-    # key); round-robin cannot be.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.repartition(n_part)
+    sig = ex.groupBy(key_col).agg(*aggs).select(
+        key_col,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
     bands_arr = F.expr(
         f"transform(sequence(0, {bands - 1}),"
         f" b -> concat_ws('|', slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))"
     )
-    # posexplode_OUTER: the non-outer variant triggers Spark's
-    # InferFiltersFromGenerate rule, which synthesizes size(_bands)>0
-    # and pushes the fully-inlined signature chain (md5 passes and all)
-    # below every exchange — re-evaluating it per input row in
-    # interpreted mode (measured 84s vs 6s on sf0.1). _bands is always
-    # length-4, so outer semantics are identical.
     exploded = (
-        df.withColumn("_bands", bands_arr)
+        sig.withColumn("_bands", bands_arr)
         .select(key_col, F.posexplode_outer("_bands").alias("band", "band_sig"))
     )
     w = Window.partitionBy("band", "band_sig")
