@@ -284,6 +284,65 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTERIZE (vector -> grid): per-tile page-density raster at S2
+    level 8 — every polygon tile becomes a gridded surface of
+    (cell token, page count). Composition of the certified tag join
+    (which already carries the leaf cellid) with the pure-SQL parent/
+    token kernels; one partial-aggregated rollup, scale shape
+    identical to the flagship. The north rule's raster direction made
+    first-class and oracle-verified."""
+    from s2js_spark.spark import sqlkernels as sq
+
+    df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
+    ts = _tileset("pip", PIP_TILES, 64)
+    pairs = tag_tiles_pairs(spark, df, ts, cellid_col="cellid")
+    names = spark.createDataFrame(
+        [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
+    )
+    return (
+        pairs.join(F.broadcast(names), "tile_i")
+        .withColumn("cell_l8", sq.s2_token_sql(sq.s2_parent_sql("cellid", 8)))
+        .groupBy("tile_id", "cell_l8")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+
+
+_VECTORIZE_LEVEL = 10
+
+
+def _q_cell_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTORIZE (grid -> vector): per-language NORMALIZED cell union
+    of the level-10 cells its pages occupy — complete sibling quads
+    merge into parents recursively, the canonical raster->vector
+    direction. Distributed per region key via applyInPandas (each
+    region's cell set is small; regions fan out across the cluster);
+    the per-group interior reuses the bit-exact geometry
+    CellUnion.normalize. Oracle: 10 chained quad-merge stages in
+    DuckDB over the same encode."""
+    from s2js_spark.spark import sqlkernels as sq
+
+    df = encode_cells(
+        _geo_pages(spark, sf_dir).filter(F.col("lat").isNotNull())
+    )
+    cells = df.select(
+        "lang",
+        sq.s2_parent_sql("cellid", _VECTORIZE_LEVEL).alias("cell"),
+    ).distinct()
+
+    def norm(key, pdf):
+        import pandas as pd
+
+        from s2js_spark.geometry.cellid_scalar import to_token
+        from s2js_spark.geometry.cellunion import CellUnion
+
+        cu = CellUnion(int(v) & 0xFFFFFFFFFFFFFFFF for v in pdf["cell"])
+        cu.normalize()
+        return pd.DataFrame({"lang": key[0], "token": [to_token(c) for c in cu]})
+
+    return cells.groupBy("lang").applyInPandas(norm, "lang string, token string")
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest geotagged pages per query point (chord^2 metric).
 
@@ -516,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_clip": _q_polyline_clip,
         "s2_encode": _q_s2_encode,
         "cell_rollup": _q_cell_rollup,
+        "tile_raster": _q_tile_raster,
+        "cell_vectorize": _q_cell_vectorize,
         "knn": _q_knn,
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -680,24 +741,90 @@ def _pip_big_oracle_sql() -> str:
         WHERE ((w % 2 = 1) != {parity})"""
 
 
-def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
-    """Convex CCW polygon containment: all edge-plane signs positive."""
+def _pip_conds(
+    ring: list[list[float]], lat_expr: str, lng_expr: str
+) -> list[str]:
+    """Convex CCW polygon containment conditions: all edge-plane signs
+    positive, point coordinates spelled by the caller."""
     conds = []
     for i in range(len(ring) - 1):
         lng1, lat1 = ring[i]
         lng2, lat2 = ring[i + 1]
         x1, y1, z1 = _xyz_sql(str(lat1), str(lng1))
         x2, y2, z2 = _xyz_sql(str(lat2), str(lng2))
-        px, py, pz = _xyz_sql("lat_e6/1e6", "lng_e6/1e6")
+        px, py, pz = _xyz_sql(lat_expr, lng_expr)
         # (v1 x v2) . p > 0
         conds.append(
             f"((({y1})*({z2}) - ({z1})*({y2})) * ({px})"
             f" + (({z1})*({x2}) - ({x1})*({z2})) * ({py})"
             f" + (({x1})*({y2}) - ({y1})*({x2})) * ({pz})) > 0"
         )
+    return conds
+
+
+def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
+    conds = _pip_conds(ring, "lat_e6/1e6", "lng_e6/1e6")
     return (
         f"SELECT url, '{tile_id}' AS tile_id FROM pages"
         f" WHERE lat_e6 IS NOT NULL AND {' AND '.join(conds)}"
+    )
+
+
+def _tile_raster_oracle_sql() -> str:
+    from tools import duckdb_s2 as ds
+
+    hits = []
+    for tile_id, geom in PIP_TILES:
+        conds = _pip_conds(geom["coordinates"][0], "lat", "lng")
+        hits.append(
+            f"SELECT '{tile_id}' AS tile_id, cellid FROM enc"
+            f" WHERE {' AND '.join(conds)}"
+        )
+    return f"""{_s2_geo_cte()}, hits AS ({' UNION ALL '.join(hits)})
+        SELECT tile_id,
+          {ds.token_sql(ds.parent_sql('cellid', 8))} AS cell_l8,
+          count(*) AS n_pages
+        FROM hits GROUP BY 1, 2"""
+
+
+def _cell_vectorize_oracle_sql() -> str:
+    """10 chained quad-merge stages: at each level, parent groups
+    holding all 4 children collapse into the parent — the same fixed
+    point CellUnion.normalize reaches on a same-level input set."""
+    from tools import duckdb_s2 as ds
+
+    L = 10
+    # MATERIALIZED: every stage references its predecessor three
+    # times; DuckDB inlines plain CTEs per reference, which makes the
+    # 10-stage chain exponential (measured: planner hang).
+    parts = [
+        f"c{L} AS MATERIALIZED (SELECT DISTINCT lang,"
+        f" {ds.parent_sql('cellid', L)} AS cellid, {L} AS lvl FROM enc)"
+    ]
+    prev = f"c{L}"
+    for lvl in range(L, 0, -1):
+        p = ds.parent_sql("cellid", lvl - 1)
+        tp = ds.parent_sql("t.cellid", lvl - 1)
+        g = (
+            f"SELECT lang, {p} AS p, count(DISTINCT cellid) AS n"
+            f" FROM {prev} WHERE lvl = {lvl} GROUP BY 1, 2"
+        )
+        parts.append(
+            f"s{lvl} AS MATERIALIZED ("
+            f"SELECT lang, cellid, lvl FROM {prev} WHERE lvl <> {lvl}"
+            f" UNION ALL "
+            f"SELECT t.lang, t.cellid, t.lvl FROM {prev} t JOIN ({g}) g"
+            f" ON t.lang = g.lang AND {tp} = g.p"
+            f" WHERE t.lvl = {lvl} AND g.n < 4"
+            f" UNION ALL "
+            f"SELECT lang, p AS cellid, {lvl - 1} AS lvl FROM ({g}) WHERE n = 4"
+            f")"
+        )
+        prev = f"s{lvl}"
+    return (
+        f"{_s2_geo_cte()}, "
+        + ", ".join(parts)
+        + f" SELECT lang, {ds.token_sql('cellid')} AS token FROM {prev}"
     )
 
 
@@ -776,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         # engine's JVM SQL encode (tools/duckdb_s2.py).
         "s2_encode": _s2_encode_oracle_sql(),
         "cell_rollup": _cell_rollup_oracle_sql(),
+        "tile_raster": _tile_raster_oracle_sql(),
+        "cell_vectorize": _cell_vectorize_oracle_sql(),
         "knn": f"""{_PAGES_CTE}, dedup AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY url
