@@ -308,6 +308,27 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUFFER_RADIUS_DEG = 0.5
+
+
+def _q_buffer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance/buffer tag join: pages inside the diamond tile OR
+    within 0.5 deg of its boundary, with the exact boundary chord^2 —
+    the user-facing form of the ported edge-distance machinery
+    (edge_distances.ts:239-333). Map-only SQL; the oracle runs the
+    SAME generated expression text in DuckDB."""
+    from s2js_spark.spark.distance import tag_within_distance
+
+    ring = PIP_TILES[0][1]["coordinates"][0]
+    df = (
+        _geo_pages(spark, sf_dir)
+        .filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lng")
+    )
+    out = tag_within_distance(df, ring, radius_deg=BUFFER_RADIUS_DEG)
+    return out.select("url", "bdist")
+
+
 _VECTORIZE_LEVEL = 10
 
 
@@ -575,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_clip": _q_polyline_clip,
         "s2_encode": _q_s2_encode,
         "cell_rollup": _q_cell_rollup,
+        "buffer_tag": _q_buffer_tag,
         "tile_raster": _q_tile_raster,
         "cell_vectorize": _q_cell_vectorize,
         "knn": _q_knn,
@@ -770,6 +792,21 @@ def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
     )
 
 
+def _buffer_tag_oracle_sql() -> str:
+    from s2js_spark.spark.distance import buffer_exprs, chord2_limit
+    from s2js_spark.spark.polyline_ops import duckdb_lit
+
+    ring = PIP_TILES[0][1]["coordinates"][0]
+    inside, dist = buffer_exprs(
+        ring, "lat_e6/1e6", "lng_e6/1e6", duckdb_lit
+    )
+    limit = duckdb_lit(chord2_limit(BUFFER_RADIUS_DEG))
+    return (
+        f"{_PAGES_CTE} SELECT url, round({dist}, 9) AS bdist FROM pages"
+        f" WHERE lat_e6 IS NOT NULL AND ({inside} OR {dist} <= {limit})"
+    )
+
+
 def _tile_raster_oracle_sql() -> str:
     from tools import duckdb_s2 as ds
 
@@ -903,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         # engine's JVM SQL encode (tools/duckdb_s2.py).
         "s2_encode": _s2_encode_oracle_sql(),
         "cell_rollup": _cell_rollup_oracle_sql(),
+        "buffer_tag": _buffer_tag_oracle_sql(),
         "tile_raster": _tile_raster_oracle_sql(),
         "cell_vectorize": _cell_vectorize_oracle_sql(),
         "knn": f"""{_PAGES_CTE}, dedup AS (

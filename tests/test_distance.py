@@ -1,0 +1,86 @@
+"""Distance/buffer tag join: the generated SQL chord^2 must agree with
+the ported scalar edge-distance machinery, and the staged operator
+selects exactly the inside-or-within-radius rows."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2js_spark.geometry.edge_distances import _update_min_distance
+from s2js_spark.geometry.loop import Loop
+from s2js_spark.geometry.point import Point
+from s2js_spark.geometry.polygon import Polygon
+from s2js_spark.spark.distance import (
+    buffer_exprs,
+    chord2_limit,
+    tag_within_distance,
+)
+from s2js_spark.spark.session import get_session
+
+D = math.pi / 180.0
+DIAMOND = [[8.0, 0.3], [8.9, 1.0], [8.0, 1.7], [7.1, 1.0], [8.0, 0.3]]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_session("local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _pt(lat, lng):
+    return Point.from_latlng_radians(lat * D, lng * D)
+
+
+def _scalar_boundary_chord2(p):
+    verts = [_pt(lat, lng) for lng, lat in DIAMOND[:-1]]
+    best = 4.0
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        best = min(best, _update_min_distance(p, a, b, 4.0, True)[0])
+    return best
+
+
+def test_sql_chord2_matches_scalar_geometry(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, float(rng.uniform(-1, 3)), float(rng.uniform(5, 11)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    lit = lambda v: f"{v!r}D"  # noqa: E731
+    _inside, dist = buffer_exprs(DIAMOND, "lat", "lng", lit)
+    got = {
+        r["id"]: r["d"]
+        for r in df.selectExpr("id", f"{dist} AS d").collect()
+    }
+    for i, lat, lng in rows:
+        want = _scalar_boundary_chord2(_pt(lat, lng))
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+
+def test_tag_within_distance_membership(spark):
+    radius = 0.5
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, float(rng.uniform(-1, 3)), float(rng.uniform(5, 11)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    got = {r["id"] for r in tag_within_distance(df, DIAMOND, radius).collect()}
+
+    loop = Loop([_pt(lat, lng) for lng, lat in DIAMOND[:-1]])
+    loop.normalize()
+    poly = Polygon([loop])
+    limit = chord2_limit(radius)
+    want = set()
+    for i, lat, lng in rows:
+        p = _pt(lat, lng)
+        if poly.contains_point(p) or _scalar_boundary_chord2(p) <= limit:
+            want.add(i)
+    assert got == want
+    assert 0 < len(want) < len(rows)  # fixture exercises both sides
