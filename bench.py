@@ -196,7 +196,10 @@ def run_flagship(spark: SparkSession, ts) -> tuple[float, int]:
 def run_query_timings(spark: SparkSession) -> dict[str, float]:
     import __spark_entry__ as e
 
-    names = ["rect_tag", "pip_tag", "pip_big", "knn", "exact_dedup", "minhash_bands", "ann_topk", "tpch_q1"]
+    names = [
+        "rect_tag", "pip_tag", "pip_big", "buffer_tag", "tile_raster",
+        "knn", "exact_dedup", "minhash_bands", "ann_topk", "tpch_q1",
+    ]
     qs = e.queries()
     out = {}
     for name in names:
