@@ -329,6 +329,30 @@ def _q_buffer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "bdist")
 
 
+def _q_buffer_tag_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANY-polygon distance join, the scale shape: candidates from a
+    broadcast equi-join against radius-EXPANDED coverings
+    (CellUnion.expand_by_radius), exact distance refinement only on
+    candidates. The oracle is the exhaustive full-scan per polygon —
+    a hash match certifies the expanded-covering prefilter never
+    drops a true buffer member."""
+    from s2js_spark.spark.distance import tag_within_distance_multi
+
+    rings = [(tid, geom["coordinates"][0]) for tid, geom in PIP_TILES]
+    df = (
+        _geo_pages(spark, sf_dir)
+        .filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lng")
+    )
+    out = tag_within_distance_multi(df, rings, BUFFER_RADIUS_DEG)
+    names = spark.createDataFrame(
+        [(k, tid) for k, (tid, _) in enumerate(rings)], ["tile_i", "tile_id"]
+    )
+    return out.join(F.broadcast(names), "tile_i").select(
+        "url", "tile_id", "bdist"
+    )
+
+
 _VECTORIZE_LEVEL = 10
 
 
@@ -597,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_encode": _q_s2_encode,
         "cell_rollup": _q_cell_rollup,
         "buffer_tag": _q_buffer_tag,
+        "buffer_tag_multi": _q_buffer_tag_multi,
         "tile_raster": _q_tile_raster,
         "cell_vectorize": _q_cell_vectorize,
         "knn": _q_knn,
@@ -792,19 +817,33 @@ def _pip_oracle_sql(tile_id: str, ring: list[list[float]]) -> str:
     )
 
 
-def _buffer_tag_oracle_sql() -> str:
+def _buffer_ring_oracle_part(ring: list[list[float]], tile_sel: str) -> str:
     from s2js_spark.spark.distance import buffer_exprs, chord2_limit
     from s2js_spark.spark.polyline_ops import duckdb_lit
 
-    ring = PIP_TILES[0][1]["coordinates"][0]
     inside, dist = buffer_exprs(
         ring, "lat_e6/1e6", "lng_e6/1e6", duckdb_lit
     )
     limit = duckdb_lit(chord2_limit(BUFFER_RADIUS_DEG))
     return (
-        f"{_PAGES_CTE} SELECT url, round({dist}, 9) AS bdist FROM pages"
+        f"SELECT url, {tile_sel} round({dist}, 9) AS bdist FROM pages"
         f" WHERE lat_e6 IS NOT NULL AND ({inside} OR {dist} <= {limit})"
     )
+
+
+def _buffer_tag_oracle_sql() -> str:
+    ring = PIP_TILES[0][1]["coordinates"][0]
+    return f"{_PAGES_CTE} " + _buffer_ring_oracle_part(ring, "")
+
+
+def _buffer_tag_multi_oracle_sql() -> str:
+    parts = [
+        _buffer_ring_oracle_part(
+            geom["coordinates"][0], f"'{tid}' AS tile_id,"
+        )
+        for tid, geom in PIP_TILES
+    ]
+    return f"{_PAGES_CTE} " + " UNION ALL ".join(parts)
 
 
 def _tile_raster_oracle_sql() -> str:
@@ -941,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_encode": _s2_encode_oracle_sql(),
         "cell_rollup": _cell_rollup_oracle_sql(),
         "buffer_tag": _buffer_tag_oracle_sql(),
+        "buffer_tag_multi": _buffer_tag_multi_oracle_sql(),
         "tile_raster": _tile_raster_oracle_sql(),
         "cell_vectorize": _cell_vectorize_oracle_sql(),
         "knn": f"""{_PAGES_CTE}, dedup AS (

@@ -123,6 +123,112 @@ def chord2_limit(radius_deg: float) -> float:
     return (2.0 * math.sin(radius_deg * _D / 2.0)) ** 2
 
 
+def buffered_covering(
+    rings: list[tuple[str, list[list[float]]]],
+    radius_deg: float,
+    max_cells: int = 64,
+    max_level_diff: int = 2,
+) -> tuple[list[tuple[int, int]], list[int]]:
+    """Driver-side prefilter index for the multi-polygon distance
+    join: each ring's covering EXPANDED by the search radius
+    (CellUnion.expand_by_radius, CellUnion.ts:420-427) — a superset of
+    the buffer region, so the candidate equi-join can never drop a
+    true match (the oracle certifies this end-to-end). Returns
+    ((cell_int64, tile_i) rows, sorted covering levels)."""
+    from ..geometry import cellid_scalar as cs
+    from ..geometry.cellunion import CellUnion
+    from ..geometry.geojson import GeoJSONRegionCoverer
+
+    coverer = GeoJSONRegionCoverer(max_cells=max_cells)
+    rows: list[tuple[int, int]] = []
+    levels: set[int] = set()
+    for idx, (_tid, ring) in enumerate(rings):
+        cu = CellUnion(
+            coverer.covering({"type": "Polygon", "coordinates": [ring]})
+        )
+        cu.expand_by_radius(radius_deg * _D, max_level_diff)
+        for c in cu:
+            rows.append((int(np.uint64(c).astype(np.int64)), idx))
+            levels.add(cs.level(int(c)))
+    return rows, sorted(levels)
+
+
+def tag_within_distance_multi(
+    df: DataFrame,
+    rings: list[tuple[str, list[list[float]]]],
+    radius_deg: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    dist_col: str = "bdist",
+) -> DataFrame:
+    """MANY-polygon distance/buffer join, the 100 TB shape: instead of
+    evaluating every polygon's distance against every row (a full
+    scan PER polygon), candidates come from a broadcast equi-join of
+    the row's cell ancestors against the radius-EXPANDED coverings
+    (tagjoin's covering-join mechanics), and only candidates run the
+    exact inside-or-within-distance refinement. Output: df columns +
+    (tile_i, ``dist_col``). All JVM; the only non-map stage is the
+    broadcast of the covering index (O(tiles x cells))."""
+    from pyspark.sql import functions as F
+
+    from . import sqlkernels as sq
+
+    spark = df.sparkSession
+    cov_rows, levels = buffered_covering(rings, radius_deg)
+    cov = spark.createDataFrame(cov_rows, "cell long, tile_i int")
+
+    base = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lng_col).isNotNull()
+    )
+    pts = sq.with_s2_cellid(
+        base, lat_col, lng_col, out_col="_leaf", assume_nonnull=True
+    )
+    # barrier 1 protects the encode chain (tagjoin.tag_candidates
+    # pattern); explode_OUTER defeats InferFiltersFromGenerate.
+    pts = sq.pushdown_barrier(pts, "_bufm_b1")
+    anc = F.array(*[sq.s2_parent_sql("_leaf", lv) for lv in levels])
+    cand = (
+        pts.withColumn("_anc", F.explode_outer(anc))
+        .join(F.broadcast(cov), F.col("_anc") == cov["cell"])
+        .drop("cell", "_anc", "_leaf")
+    )
+
+    # staged refinement (tag_within_distance pattern): unit vector
+    # once, per-tile inside/dist columns, then cheap CASE decisions.
+    lit = lambda v: f"{v!r}D"  # noqa: E731
+    ax, ay, az = _xyz_exprs(lat_col, lng_col, lit)
+    staged = cand.selectExpr(
+        "*", f"{ax} AS _bpx", f"{ay} AS _bpy", f"{az} AS _bpz"
+    )
+    staged = staged.withColumn("_bufm_b2", F.col("_bufm_b1") + F.rand())
+    tile_cols = []
+    for k, (_tid, ring) in enumerate(rings):
+        inside, dist = buffer_exprs(
+            ring, lat_col, lng_col, lit, px="_bpx", py="_bpy", pz="_bpz"
+        )
+        tile_cols.append(f"{inside} AS _bin{k}")
+        tile_cols.append(f"{dist} AS _bd{k}")
+    staged = staged.selectExpr("*", *tile_cols)
+    limit = chord2_limit(radius_deg)
+    keep = " ".join(
+        f"WHEN {k} THEN (_bin{k} OR _bd{k} <= {lit(limit)})"
+        for k in range(len(rings))
+    )
+    dist_case = " ".join(
+        f"WHEN {k} THEN round(_bd{k}, 9)" for k in range(len(rings))
+    )
+    out = staged.filter(
+        F.expr(f"CASE tile_i {keep} ELSE false END")
+        & sq.barrier_guard("_bufm_b2")
+    ).withColumn(dist_col, F.expr(f"CASE tile_i {dist_case} END"))
+    drop = (
+        ["_bpx", "_bpy", "_bpz", "_bufm_b1", "_bufm_b2"]
+        + [f"_bin{k}" for k in range(len(rings))]
+        + [f"_bd{k}" for k in range(len(rings))]
+    )
+    return out.drop(*drop)
+
+
 def tag_within_distance(
     df: DataFrame,
     ring: list[list[float]],

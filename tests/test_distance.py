@@ -84,3 +84,67 @@ def test_tag_within_distance_membership(spark):
             want.add(i)
     assert got == want
     assert 0 < len(want) < len(rows)  # fixture exercises both sides
+
+
+def test_buffered_covering_is_superset_of_buffer():
+    """Prefilter soundness: every point within the radius of the
+    polygon must land inside some radius-expanded covering cell —
+    sampled densely along outward offsets of the boundary."""
+    from s2js_spark.geometry import cellid_scalar as cs
+    from s2js_spark.spark.distance import buffered_covering
+
+    radius = 0.5
+    rows, _levels = buffered_covering([("d", DIAMOND)], radius)
+    ranges = sorted(
+        (cs.range_min(c & 0xFFFFFFFFFFFFFFFF), cs.range_max(c & 0xFFFFFFFFFFFFFFFF))
+        for c, _ in ((r[0], r[1]) for r in rows)
+    )
+
+    def covered(lat, lng):
+        leaf = cs.from_latlng_degrees(lat, lng)
+        return any(lo <= leaf <= hi for lo, hi in ranges)
+
+    verts = DIAMOND[:-1]
+    import numpy as np
+
+    missed = 0
+    for i in range(len(verts)):
+        lng1, lat1 = verts[i]
+        lng2, lat2 = verts[(i + 1) % len(verts)]
+        for t in np.linspace(0.0, 1.0, 25):
+            blat = lat1 + t * (lat2 - lat1)
+            blng = lng1 + t * (lng2 - lng1)
+            # outward normal (planar approx is fine at this scale):
+            # offset by 0.9 * radius away from the polygon centroid
+            clat, clng = 1.0, 8.0
+            d = math.hypot(blat - clat, blng - clng) or 1.0
+            for f in (0.3, 0.6, 0.9):
+                olat = blat + (blat - clat) / d * radius * f
+                olng = blng + (blng - clng) / d * radius * f
+                if not covered(olat, olng):
+                    missed += 1
+    assert missed == 0
+
+
+def test_multi_matches_per_ring_scan(spark):
+    """The covering-prefiltered multi join equals the exhaustive
+    single-polygon scan per ring."""
+    from s2js_spark.spark.distance import tag_within_distance_multi
+
+    rings = [("a", DIAMOND)]
+    rng = np.random.RandomState(21)
+    rows = [
+        (i, float(rng.uniform(-1, 3)), float(rng.uniform(5, 11)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    got = {
+        (r["id"], r["bdist"])
+        for r in tag_within_distance_multi(df, rings, 0.5).collect()
+    }
+    want = {
+        (r["id"], r["bdist"])
+        for r in tag_within_distance(df, DIAMOND, 0.5).collect()
+    }
+    assert got == want
+    assert len(want) > 10
