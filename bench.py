@@ -306,6 +306,13 @@ def cluster_scaling(ts) -> dict:
     levels = [int(v) for v in levels_env.split(",")]
     out = {"executor_levels": levels, "executor_cores": 4}
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+    # Wall budget for the WHOLE cluster phase: on a bad-weather host a
+    # 1x4 visit can take 3-4x its good-weather wall, and a harness
+    # killing the process mid-phase loses the artifact entirely. After
+    # each completed round, stop early if the budget is spent — at
+    # least 2 rounds always run; the artifact reports exactly the
+    # rounds that did.
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1800"))
     try:
         cl.start_master()
         tput = {}
@@ -318,7 +325,11 @@ def cluster_scaling(ts) -> dict:
         # the min() if slow.
         walls = {n: float("inf") for n in levels}
         round_walls = []
+        phase_t0 = time.time()
         for _round in range(rounds):
+            if _round >= 2 and time.time() - phase_t0 > budget_s:
+                out["rounds_truncated_by_budget"] = True
+                break
             rw = {}
             for n_exec in levels:
                 spark = cl.session(
