@@ -45,11 +45,25 @@ def _manifest_path(path: str) -> str:
 
 
 def manifest(path: str) -> list[dict]:
+    """Parsed manifest rows. A crash mid-append can tear the FINAL
+    line (partial JSON); tolerating exactly that line keeps resume
+    self-healing — the torn bucket was never committed, so it simply
+    rewrites. A malformed line anywhere else is real corruption and
+    still raises."""
     mp = _manifest_path(path)
     if not os.path.exists(mp):
         return []
     with open(mp) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        lines = [ln for ln in f if ln.strip()]
+    out: list[dict] = []
+    for i, line in enumerate(lines):
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                break  # torn trailing line from a crashed append
+            raise
+    return out
 
 
 def _append_manifest(path: str, entry: dict) -> None:
@@ -174,7 +188,13 @@ def _file_bucket(fn: str) -> int | None:
 
 def _bucketed_file_counts(path: str) -> dict[int, int]:
     """Per-bucket row counts from parquet FOOTERS (driver-side
-    metadata only, no Spark job)."""
+    metadata only, no Spark job).
+
+    A data file whose name carries no parseable ``_NNNNN`` bucket id
+    means the layout was written by a different committer than Spark's
+    bucketed writer — silently skipping it would commit pending
+    buckets with row_count 0 and leave stale files invisible to
+    cleanup, so it raises instead."""
     import pyarrow.parquet as pq
 
     counts: dict[int, int] = {}
@@ -185,10 +205,45 @@ def _bucketed_file_counts(path: str) -> dict[int, int]:
             continue
         b = _file_bucket(fn)
         if b is None:
-            continue
+            raise ValueError(
+                f"parquet file without a bucket id in its name at the"
+                f" bucketed table location: {os.path.join(path, fn)}"
+                " (expected Spark bucketed-writer naming"
+                " part-...-<uuid>_NNNNN...parquet)"
+            )
         n = pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
         counts[b] = counts.get(b, 0) + n
     return counts
+
+
+def _verify_table_spec(
+    spark: SparkSession, table: str, path: str, key_col: str, n_buckets: int
+) -> None:
+    """Assert the catalog table's LOCATION and bucket spec match the
+    requested ones (see the CREATE TABLE IF NOT EXISTS caveat at the
+    call site)."""
+    info = {
+        r["col_name"].strip(): (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r["col_name"]
+    }
+    loc = info.get("Location", "")
+    loc_path = re.sub(r"^[a-z]+:(//)?", "", loc)
+    if os.path.realpath(loc_path) != os.path.realpath(path):
+        raise ValueError(
+            f"catalog table {table} already exists with LOCATION"
+            f" {loc!r}, not the requested path {path!r} — drop or"
+            " rename the table (resumable writes would otherwise land"
+            " outside the manifested location)"
+        )
+    buckets = info.get("Num Buckets", "")
+    cols = info.get("Bucket Columns", "")
+    if buckets != str(n_buckets) or key_col not in cols:
+        raise ValueError(
+            f"catalog table {table} bucket spec ({cols} INTO {buckets})"
+            f" does not match the requested CLUSTERED BY ({key_col})"
+            f" INTO {n_buckets} BUCKETS"
+        )
 
 
 def resumable_write_bucketed(
@@ -229,13 +284,23 @@ def resumable_write_bucketed(
     if not pending:
         return WriteReport(stage, input_fingerprint, [], skipped, 0)
 
-    # step 2: clean uncommitted leftovers of a crashed attempt
+    # step 2: clean uncommitted leftovers of a crashed attempt. An
+    # unparseable bucket filename raises (foreign committer layout —
+    # see _bucketed_file_counts) BEFORE anything is deleted/written.
     if os.path.isdir(path):
+        leftovers = []
         for fn in os.listdir(path):
             if fn.endswith(".parquet"):
                 b = _file_bucket(fn)
-                if b is not None and b not in done:
-                    os.remove(os.path.join(path, fn))
+                if b is None:
+                    raise ValueError(
+                        "parquet file without a bucket id at the"
+                        f" bucketed table location: {os.path.join(path, fn)}"
+                    )
+                if b not in done:
+                    leftovers.append(fn)
+        for fn in leftovers:
+            os.remove(os.path.join(path, fn))
 
     # The table is created via DDL with an explicit LOCATION — an
     # EXTERNAL table, so catalog drops (e.g. a later re-attach from a
@@ -247,6 +312,12 @@ def resumable_write_bucketed(
         f" USING PARQUET CLUSTERED BY ({key_col}) SORTED BY ({key_col})"
         f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
+    # IF NOT EXISTS silently reuses a pre-existing catalog table: if
+    # that table points elsewhere (or has a different bucket spec),
+    # insertInto would write the data somewhere other than `path`
+    # while the manifest at `path` commits buckets counted from
+    # footers that never change — fail loudly instead.
+    _verify_table_spec(spark, table, path, key_col, n_buckets)
     t0 = time.time()
     pend = df.filter(
         F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).isin(pending)

@@ -63,6 +63,22 @@ _PTS_CACHE: dict = {}
 _PTS_CACHE_MAX = 16
 
 
+def clear_knn_index_cache() -> None:
+    """Invalidate the memoized kNN point indexes.
+
+    The cache key is PLAN semantics (semanticHash), so rewriting the
+    underlying files in place within a session would otherwise serve
+    stale kNN results — call this after any in-place rewrite of an
+    indexed corpus. Cluster note: the memoized index rides on
+    ``localCheckpoint`` blocks, which are NOT reliable storage — on a
+    real cluster an executor loss invalidates them and cached queries
+    fail; set ``spark.sparkContext.setCheckpointDir`` and swap
+    ``localCheckpoint`` for ``checkpoint`` in ``_cell_keyed_points``
+    when executors are preemptible (same plan shape, reliable blocks).
+    """
+    _PTS_CACHE.clear()
+
+
 def _cell_keyed_points(
     spark: SparkSession, points: DataFrame, level: int
 ) -> DataFrame:

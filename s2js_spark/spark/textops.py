@@ -125,7 +125,12 @@ def minhash_dedup_groups(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    ex = df.select(key_col, F.explode(F.expr(sh)).alias("_s"))
+    # explode_OUTER: semantically identical (the transform sequence is
+    # never empty — greatest(..., 1) guarantees >= 1 element), but a
+    # plain explode makes InferFiltersFromGenerate synthesize a
+    # size(shingles) > 0 filter that evaluates the transform a second
+    # time per row.
+    ex = df.select(key_col, F.explode_outer(F.expr(sh)).alias("_s"))
     aggs = []
     for i in range(num_hashes):
         salt, slice_i = divmod(i, 4)

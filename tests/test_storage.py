@@ -238,3 +238,77 @@ def test_resumable_bucketed_filter_matches_writer_spec(spark, tmp_path):
         assert checked >= 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    """A crash mid-append can tear the FINAL manifest line; resume
+    must self-heal (the torn bucket was never committed). A malformed
+    line anywhere else is real corruption and still raises."""
+    import json
+
+    import pytest
+
+    from s2js_spark.spark.checkpoint import MANIFEST, manifest
+
+    path = str(tmp_path / "torn")
+    (tmp_path / "torn").mkdir()
+    good = {"stage": "s", "input_fingerprint": "fp", "bucket": 0,
+            "row_count": 10, "wall_sec": 0.1, "written_at": "t"}
+    mp = tmp_path / "torn" / MANIFEST
+    mp.write_text(json.dumps(good) + "\n" + '{"stage": "s", "bu')
+    rows = manifest(path)
+    assert rows == [good]
+
+    # torn line NOT at the end -> raise
+    mp.write_text('{"stage": "s", "bu\n' + json.dumps(good) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        manifest(path)
+
+
+def test_resumable_bucketed_table_spec_mismatch_raises(spark, tmp_path):
+    """CREATE TABLE IF NOT EXISTS silently reuses a pre-existing
+    catalog table; if its LOCATION or bucket spec differs from the
+    requested one, the write must fail loudly instead of landing data
+    outside the manifested location."""
+    import pytest
+
+    from s2js_spark.spark.checkpoint import resumable_write_bucketed
+
+    df = _pages_df(spark)
+    tbl = "spec_mismatch_test"
+    try:
+        resumable_write_bucketed(
+            df, str(tmp_path / "a"), tbl, "s", "fp", key_col="url",
+            n_buckets=8,
+        )
+        with pytest.raises(ValueError, match="LOCATION"):
+            resumable_write_bucketed(
+                df, str(tmp_path / "b"), tbl, "s", "fp", key_col="url",
+                n_buckets=8,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_resumable_bucketed_foreign_file_raises(spark, tmp_path):
+    """A parquet data file with no parseable bucket id in its name
+    (foreign committer) must abort the resumable write before any
+    cleanup or data movement."""
+    import pytest
+
+    from s2js_spark.spark.checkpoint import resumable_write_bucketed
+
+    df = _pages_df(spark)
+    path = tmp_path / "foreign"
+    path.mkdir()
+    rogue = path / "data.parquet"
+    rogue.write_bytes(b"PAR1 not really parquet")
+    tbl = "foreign_file_test"
+    try:
+        with pytest.raises(ValueError, match="bucket id"):
+            resumable_write_bucketed(
+                df, str(path), tbl, "s", "fp", key_col="url", n_buckets=8
+            )
+        assert rogue.exists()  # nothing deleted before the abort
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
