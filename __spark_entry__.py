@@ -417,6 +417,28 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kNN join, but the cell level is AUTO-SELECTED from a
+    sampled row-count estimate (joins._estimate_count: a handful of
+    partitions, no full pre-scan) — the level knn_join picks when the
+    caller has no density prior. Exactness is level-independent via
+    the certified brute-force escalation, so this shares the knn
+    oracle; what it adds is oracle coverage of the estimator +
+    level-selection path itself."""
+    from s2js_spark.spark.joins import knn_join
+
+    df = dedup_latest(_geo_pages(spark, sf_dir)).filter(F.col("lat").isNotNull())
+    pts = df.select(F.col("url").alias("id"), "lat", "lng")
+    q = spark.createDataFrame(KNN_QUERIES, ["query_id", "qlat", "qlng"])
+    out = knn_join(spark, pts, q, k=KNN_K)  # level=None -> estimator
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").alias("url"),
+        F.col("rank").cast("long").alias("rank"),
+        "chord2",
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = textops.exact_dedup(_pages(spark, sf_dir))
     return df.select("content_hash", F.col("url").alias("url_keep"))
@@ -631,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_raster": _q_tile_raster,
         "cell_vectorize": _q_cell_vectorize,
         "knn": _q_knn,
+        "knn_auto": _q_knn_auto,
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
         "minhash_dedup": _q_minhash_dedup,
@@ -960,7 +983,7 @@ def oracle_sql() -> dict[str, str]:
 
     stop_list = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
 
-    return {
+    out = {
         "geo_extract": f"""{_PAGES_CTE}
             SELECT url, doc_id, lat_e6 AS glat_e6, lng_e6 AS glng_e6
             FROM pages WHERE lat_e6 IS NOT NULL""",
@@ -1248,3 +1271,8 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS count_order
             FROM lineitem GROUP BY 1, 2""",
     }
+    # knn_auto runs the same join with the level auto-selected from a
+    # sampled estimate; the result is provably level-independent
+    # (certified escalation), so it shares the knn oracle verbatim.
+    out["knn_auto"] = out["knn"]
+    return out
