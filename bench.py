@@ -193,7 +193,28 @@ def run_flagship(spark: SparkSession, ts) -> tuple[float, int]:
     return time.time() - t0, n_tags
 
 
-def run_query_timings(spark: SparkSession) -> dict[str, float]:
+def plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan SHAPE.
+
+    Round-4 review: rect_tag moved 1.5->4.2s between artifacts with
+    (probably) no plan change, but nothing in the artifact could prove
+    that — weather and regression were indistinguishable. The
+    fingerprint strips run-varying tokens (expression ids, plan ids,
+    file paths, size statistics) so equal fingerprints across rounds
+    mean "same plan, blame the host" at a glance.
+    """
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Z]*", "#", s)          # expression ids
+    s = re.sub(r"\[plan_id=\d+\]", "", s)      # plan ids
+    s = re.sub(r"(file|dbfs|s3a?):[^\s,\]\)]+", r"\1:", s)  # paths
+    s = re.sub(r"\d{5,}", "N", s)              # row-count / size stats
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def run_query_timings(spark: SparkSession) -> tuple[dict, dict]:
     import __spark_entry__ as e
 
     names = [
@@ -201,20 +222,22 @@ def run_query_timings(spark: SparkSession) -> dict[str, float]:
         "knn", "exact_dedup", "minhash_bands", "ann_topk", "tpch_q1",
     ]
     qs = e.queries()
-    out = {}
+    out, fps = {}, {}
     for name in names:
         # one untimed warm-up run (JIT + plan analysis), then
-        # best-of-2 — the sandbox's shared-host variance otherwise
-        # dominates sub-5s queries
+        # best-of-3 — the sandbox's shared-host variance otherwise
+        # dominates sub-5s queries (round-4 review: best-of-2 let a
+        # 2.8x weather spike into the shipped artifact)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fps[name] = plan_fingerprint(qs[name](spark, SF_DIR))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    return out
+    return out, fps
 
 
 def measure_flagship(
@@ -285,13 +308,70 @@ def machine_parallel_ceiling(n_lo: int = 8, n_hi: int = 32) -> float:
     return round((tput[n_hi] / tput[n_lo]) / (n_hi / n_lo), 3)
 
 
-def cluster_scaling(ts) -> dict:
+def _median(vals):
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _cluster_visit(cl, ts, n_exec: int) -> tuple[float, float]:
+    """One executor-level visit: session up -> untimed warm-up on the
+    default-size stored corpus (same plan shape, so whole-stage codegen
+    classes and C2-hot paths carry over — janino caches compiled
+    classes by generated source) -> untimed driver-side planning of the
+    full-size job -> ONE timed execution run. Returns
+    (exec_wall, plan_sec).
+
+    The timed window is EXECUTION ONLY: Catalyst analysis/optimization/
+    physical planning is serial DRIVER work whose absolute cost is
+    identical at every cluster size, so including it deflates the
+    large-cluster throughput by a constant that says nothing about how
+    the engine scales — at the 10^12-doc design point jobs run for
+    hours and planning is noise (the round-2..4 cluster phases, which
+    timed planning + execution together, carried that constant in every
+    ratio). plan_sec ships in the artifact per round so the
+    planning-inclusive ratio stays reconstructible.
+    """
+    spark = cl.session(
+        n_exec, repo_root=os.path.dirname(os.path.abspath(__file__)),
+        app_name="s2js-bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        _wdf, wagg = flagship_frames(spark, ts)  # default AMPLIFY corpus
+        wagg.collect()
+        _df, agg = flagship_frames(spark, ts, CLUSTER_AMPLIFY)
+        tp0 = time.time()
+        agg._jdf.queryExecution().executedPlan()  # cached on the Dataset
+        plan_s = time.time() - tp0
+        t0 = time.time()
+        agg.collect()
+        return time.time() - t0, plan_s
+    finally:
+        spark.stop()
+
+
+def cluster_scaling(ts, n_pages: int) -> dict:
     """North-rule scaling evidence: the SAME flagship job on a real
-    local standalone cluster at 2 vs 8 executor JVMs (4 cores each) —
-    the N-vs-4N-executor criterion with genuine executor process
-    isolation (private heaps, netty shuffle). A single local[k] JVM
-    conflates executor scaling with shared-heap GC; executor JVMs are
-    the unit that multiplies on a real cluster."""
+    local standalone cluster at N vs 4N executor JVMs (4 cores each) —
+    genuine executor process isolation (private heaps, netty shuffle).
+    A single local[k] JVM conflates executor scaling with shared-heap
+    GC; executor JVMs are the unit that multiplies on a real cluster.
+
+    Round-5 structure (round-4 review: the shipped artifact had only 3
+    budget-truncated rounds, and one interference-hit round dominated
+    the median):
+    - ONE timed run per visit after an untimed default-size warm-up
+      (was: two full-size runs) roughly halves the round cost, so >=4
+      and typically 6 rounds fit the same wall budget;
+    - rounds with eff > 1.05 are EXCLUDED from the median and recorded
+      in ``rounds_excluded``: >1 efficiency between cluster sizes on a
+      streaming, cache-free workload is not achievable engine behavior
+      — it means the small-cluster visit absorbed external host
+      interference (the recorded 1.398 round of r4). The rule is
+      one-sided by design: slow-looking rounds are KEPT, because "the
+      engine scaled badly" can never be excluded by fiat.
+    """
     from s2js_spark.spark.cluster import StandaloneCluster
 
     cl = StandaloneCluster()
@@ -300,90 +380,178 @@ def cluster_scaling(ts) -> dict:
     # scaling rather than the shared host's oversubscription wall —
     # measured on this box, per-thread scan+regex throughput HALVES
     # between 8 and 32 concurrent threads (the CPU-burner ceiling
-    # itself is 0.74-0.82), which is host capacity, not engine shape;
-    # BENCH/BASELINE.md reports the 2x4 -> 8x4 pair alongside.
+    # itself is 0.74-0.82), which is host capacity, not engine shape.
     levels_env = os.environ.get("SPARK_GRAFT_EXEC_LEVELS", "1,4")
     levels = [int(v) for v in levels_env.split(",")]
-    out = {"executor_levels": levels, "executor_cores": 4}
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+    out = {"executor_levels": levels, "executor_cores": 4, "pages": n_pages}
+    rounds_max = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "6"))
+    rounds_min = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS_MIN", "4"))
     # Wall budget for the WHOLE cluster phase: on a bad-weather host a
     # 1x4 visit can take 3-4x its good-weather wall, and a harness
-    # killing the process mid-phase loses the artifact entirely. After
-    # each completed round, stop early if the budget is spent — at
-    # least 2 rounds always run; the artifact reports exactly the
-    # rounds that did.
+    # killing the process mid-phase loses the artifact entirely.
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1800"))
+    n_lo, n_hi = levels
     try:
         cl.start_master()
-        tput = {}
-        # INTERLEAVED level visits, best wall per level across rounds:
-        # this shared host's per-window capacity varies by ~1.5-2x
-        # between identical runs, so a single sequential pass measures
-        # the weather, not the engine (recorded ratios ranged
-        # 0.34-1.06 run to run). Two timed runs per visit — the first
-        # doubles as the fresh executors' JIT warm-up and simply loses
-        # the min() if slow.
+        # INTERLEAVED level visits; efficiency from WITHIN-round pairs:
+        # a round's two visits run minutes apart (same host-weather
+        # window), so their ratio measures the engine; mixing walls
+        # across rounds can pair a good-weather small run with a
+        # bad-weather big run (recorded ratios 0.34-1.4 from exactly
+        # that). Headline = MEDIAN across interference-free rounds.
         walls = {n: float("inf") for n in levels}
-        round_walls = []
+        round_rows = []
         phase_t0 = time.time()
-        for _round in range(rounds):
-            if _round >= 2 and time.time() - phase_t0 > budget_s:
+        worst_round = 0.0
+        for _round in range(rounds_max):
+            elapsed = time.time() - phase_t0
+            # continue past rounds_min only while a worst-case-cost
+            # round still fits the budget; below rounds_min run
+            # regardless (truncated evidence is worse than a late
+            # artifact — exactly the r4 failure)
+            if _round >= rounds_min and elapsed + worst_round > budget_s:
                 out["rounds_truncated_by_budget"] = True
                 break
-            rw = {}
+            r_t0 = time.time()
+            rw, rp = {}, {}
             for n_exec in levels:
-                spark = cl.session(
-                    n_exec, repo_root=os.path.dirname(os.path.abspath(__file__)),
-                    app_name="s2js-bench",
-                )
-                spark.sparkContext.setLogLevel("ERROR")
-                best, n_pages = measure_flagship(
-                    spark, ts, trials=2, amplify=CLUSTER_AMPLIFY, warmup=False
-                )
-                walls[n_exec] = min(walls[n_exec], best)
-                rw[n_exec] = best
-                out["pages"] = n_pages
-                spark.stop()
-            round_walls.append(rw)
+                rw[n_exec], rp[n_exec] = _cluster_visit(cl, ts, n_exec)
+                walls[n_exec] = min(walls[n_exec], rw[n_exec])
+            worst_round = max(worst_round, time.time() - r_t0)
+            round_rows.append(
+                {
+                    f"wall_{n_lo}x4": round(rw[n_lo], 3),
+                    f"wall_{n_hi}x4": round(rw[n_hi], 3),
+                    f"plan_{n_lo}x4": round(rp[n_lo], 3),
+                    f"plan_{n_hi}x4": round(rp[n_hi], 3),
+                    "eff": round((rw[n_lo] / rw[n_hi]) / (n_hi / n_lo), 3),
+                }
+            )
         for n_exec in levels:
-            tput[n_exec] = out["pages"] / walls[n_exec]
             out[f"wall_{n_exec}x4"] = round(walls[n_exec], 3)
-        n_lo, n_hi = out["executor_levels"]
-        out["pages_per_sec"] = {str(k): round(v, 1) for k, v in tput.items()}
-        # efficiency from WITHIN-round pairs: a round's two visits run
-        # minutes apart (same host-weather window), so their ratio
-        # measures the engine; mixing walls across rounds can pair a
-        # good-weather small run with a bad-weather big run (observed
-        # recorded ratios 0.34-1.06 from exactly that). Headline =
-        # MEDIAN across rounds (round-3 review: max-of-rounds selects
-        # lucky noise and overstates the engine ratio); the full
-        # per-round list plus min/max spread ship alongside so the
-        # estimator is auditable.
-        out["rounds"] = [
-            {
-                f"wall_{n_lo}x4": round(rw[n_lo], 3),
-                f"wall_{n_hi}x4": round(rw[n_hi], 3),
-                "eff": round((rw[n_lo] / rw[n_hi]) / (n_hi / n_lo), 3),
-            }
-            for rw in round_walls
-        ]
-        effs = sorted(r["eff"] for r in out["rounds"])
-        mid = len(effs) // 2
-        med = effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
-        out["scaling_efficiency"] = round(med, 3)
-        out["scaling_efficiency_spread"] = [effs[0], effs[-1]]
+        out["pages_per_sec"] = {
+            str(n): round(n_pages / walls[n], 1) for n in levels
+        }
+        out["rounds"] = round_rows
+        kept = [r["eff"] for r in round_rows if r["eff"] <= 1.05]
+        excluded = [r["eff"] for r in round_rows if r["eff"] > 1.05]
+        if not kept:  # pathological: every round read superlinear
+            kept, excluded = [r["eff"] for r in round_rows], []
+        out["rounds_excluded"] = excluded
+        out["scaling_efficiency"] = round(_median(kept), 3)
+        out["scaling_efficiency_spread"] = [min(kept), max(kept)]
     finally:
         cl.stop()
     return out
 
 
+def paired_flagship(spark: SparkSession, ts, trials: int = 3):
+    """Interleaved uniform/Zipf flagship trials (round-4 review: the
+    two phases ran minutes apart and shipped three irreconcilable
+    ratios across artifacts — 1.013 / 1.253 / 0.134 — because each
+    phase was measured in its own host-weather window). Here every
+    trial times uniform then Zipf back-to-back, and the skew headline
+    is the MEDIAN of the per-pair ratios, so each ratio compares two
+    runs seconds apart. The uniform minimum doubles as the flagship
+    headline (best-of-``trials`` after warm-up, same estimator as
+    before)."""
+    n_urls = pages(spark, SF_DIR).select("url").distinct().count()
+    n_pages = n_urls * AMPLIFY
+
+    def one(skew):
+        _df, agg = flagship_frames(spark, ts, skew=skew)
+        t0 = time.time()
+        agg.collect()
+        return time.time() - t0
+
+    one(None)      # untimed warm-ups: JIT + janino for both plan shapes
+    one("zipf")
+    us, zs, ratios = [], [], []
+    for _ in range(trials):
+        u = one(None)
+        z = one("zipf")
+        us.append(u)
+        zs.append(z)
+        ratios.append(z / u)
+    return us, zs, ratios, n_pages
+
+
+def salted_rollup_phase(spark: SparkSession) -> dict:
+    """Hot-key rollup A/B on the Zipf corpus, isolated from the
+    pipeline: the (url, cell6) tag pairs are materialized once
+    (untimed) and both aggregation strategies read the same stored
+    table, so the walls compare AGGREGATION plans, not the upstream
+    regex/join (which dominated the r4 numbers and hid the delta).
+
+    Two aggregates, chosen deliberately:
+    - count(*) per cell — ALGEBRAIC. Spark's partial aggregation sends
+      one partial row per map task per key, so the hot key is already
+      defused and salting is expected to be a wash (reported to show
+      the engine does not pay for salt where it is not needed). The
+      same is true of countDistinct: Spark rewrites it to shuffle on
+      (key, url), so the r4-suggested countDistinct demo cannot skew.
+    - size(collect_set(url)) per cell — HOLISTIC. Every partial SET for
+      the hot cell converges on one reducer that performs ~2M serial
+      hash inserts; the salted two-phase plan does those inserts on
+      n_salts reducers in parallel and the final stage merges n_salts
+      pre-deduplicated arrays. This is where salting must win.
+
+    Runs are interleaved plain/salted per trial (same weather window),
+    best-of-2. Result equality of the two plans is asserted in
+    tests/test_skew_and_cover.py, not here.
+    """
+    from s2js_spark.spark import sqlkernels as sq
+    from s2js_spark.spark.skew import salted_agg
+    from s2js_spark.spark.tagjoin import tag_tiles_pairs as _ttp
+
+    ts = tileset()
+    geoz = dedup_latest(extract_geotags(bucketed_pages(spark, skew="zipf")))
+    pairsz = _ttp(
+        spark, geoz.select("url", "lat", "lng"), ts,
+        exact_residuals=False, cellid_col="cellid",
+    ).withColumn("_cell6", sq.s2_parent_sql("cellid", 6))
+    sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+    pairs_path = f"{BUCKET_DIR}-x{AMPLIFY}-sf{sf_tag}-zipf-pairs"
+    if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
+        pairsz.select("url", "_cell6").write.mode("overwrite").parquet(pairs_path)
+    stored = spark.read.parquet(pairs_path)
+
+    plain_holistic = stored.groupBy("_cell6").agg(
+        F.size(F.collect_set("url")).alias("n_urls")
+    )
+    salted_holistic = salted_agg(
+        stored, "_cell6",
+        [(
+            F.collect_set("url"),
+            lambda c: F.size(F.array_distinct(F.flatten(F.collect_list(c)))),
+            "n_urls",
+        )],
+        n_salts=16,
+    )
+    variants = {
+        "rollup_plain_sec": stored.groupBy("_cell6").count(),
+        "rollup_salted_sec": salted_agg(
+            stored, "_cell6", [(F.count("*"), F.sum, "n")], n_salts=16),
+        "collect_set_plain_sec": plain_holistic,
+        "collect_set_salted_sec": salted_holistic,
+    }
+    for frame in variants.values():  # warm-ups, untimed
+        frame.write.format("noop").mode("overwrite").save()
+    out = {k: 1e9 for k in variants}
+    for _trial in range(2):  # interleaved: every variant in each window
+        for name, frame in variants.items():
+            t0 = time.time()
+            frame.write.format("noop").mode("overwrite").save()
+            out[name] = min(out[name], time.time() - t0)
+    return {k: round(v, 3) for k, v in out.items()}
+
+
 def main() -> None:
     ts = tileset()
 
-    # headline flagship number + per-query timings on local[CPUS]
-    # FIRST: the cluster phase leaves JVM-level state (system
-    # properties, worker pools) that measurably slows later local
-    # sessions in the same process
+    # local[CPUS] phase FIRST: the cluster phase leaves JVM-level state
+    # (system properties, worker pools) that measurably slows later
+    # local sessions in the same process
     spark = session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     # proof obligation: the stored bucketed layout makes the scan ->
@@ -391,50 +559,28 @@ def main() -> None:
     dedup_plan_exchange_free = no_exchange_before_window(
         dedup_latest(extract_geotags(bucketed_pages(spark)))
     )
-    best, pages_count = measure_flagship(spark, ts)
-    # Zipf-skew phase (SURVEY §4.3): same flagship, same size, but 60%
-    # of geotags concentrated in 3 hot cities that land inside graded
-    # tiles. The tag join is map-side (broadcast covering join +
-    # partial aggregation), so the wall must stay within ~10% of the
-    # uniform corpus — skew-immunity measured, not claimed. The
-    # per-cell rollup is additionally measured through the salted
-    # two-phase aggregate vs the plain groupBy (equality + plan shape
-    # are asserted in tests/test_skew_and_cover.py).
-    best_zipf, _ = measure_flagship(spark, ts, skew="zipf")
+    # per-query timings BEFORE the flagship/Zipf phases (round-4
+    # review: rect_tag inflated 2.8x when timed after a long-lived
+    # JVM had been through the Zipf phase)
+    q_times, q_fps = run_query_timings(spark)
+    # flagship + Zipf skew-immunity, interleaved pairwise (SURVEY §4.3)
+    us, zs, ratios, pages_count = paired_flagship(spark, ts)
+    best = min(us)
     zipf = {
-        "flagship_sec": round(best_zipf, 3),
-        "over_uniform": round(best_zipf / best, 3),
+        "flagship_sec": round(min(zs), 3),
+        "over_uniform": round(_median(ratios), 3),
+        "over_uniform_pairs": [round(r, 3) for r in ratios],
     }
-    from s2js_spark.spark import sqlkernels as sq
-    from s2js_spark.spark.skew import salted_agg
-    from s2js_spark.spark.tagjoin import tag_tiles_pairs as _ttp
-
-    geoz = dedup_latest(extract_geotags(bucketed_pages(spark, skew="zipf")))
-    pairsz = _ttp(
-        spark, geoz.select("url", "lat", "lng"), ts,
-        exact_residuals=False, cellid_col="cellid",
-    ).withColumn("_cell6", sq.s2_parent_sql("cellid", 6))
-    for name, frame in (
-        ("rollup_plain_sec", pairsz.groupBy("_cell6").count()),
-        ("rollup_salted_sec", salted_agg(
-            pairsz, "_cell6", [(F.count("*"), F.sum, "n")], n_salts=16)),
-    ):
-        frame.write.format("noop").mode("overwrite").save()  # warm-up
-        w = 1e9
-        for _ in range(2):
-            t0 = time.time()
-            frame.write.format("noop").mode("overwrite").save()
-            w = min(w, time.time() - t0)
-        zipf[name] = round(w, 3)
-    q_times = run_query_timings(spark)
+    zipf.update(salted_rollup_phase(spark))
     if SCALING:
         # pre-ingest the scaling corpus with the 32-core session
         # (untimed, one-off table maintenance); the cluster sessions
         # re-attach the same files via DDL
         bucketed_pages(spark, CLUSTER_AMPLIFY)
+    n_urls = pages(spark, SF_DIR).select("url").distinct().count()
     spark.stop()
 
-    cluster = cluster_scaling(ts) if SCALING else None
+    cluster = cluster_scaling(ts, n_urls * CLUSTER_AMPLIFY) if SCALING else None
     # the hardware ceiling at the SAME core counts as the cluster pair
     ceiling = (
         machine_parallel_ceiling(
@@ -449,6 +595,7 @@ def main() -> None:
         "value": round(best, 3),
         "unit": "sec",
         "queries": q_times,
+        "query_plan_fingerprints": q_fps,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pages": pages_count,
         "pages_per_sec": {str(CPUS): round(pages_count / best, 1)},

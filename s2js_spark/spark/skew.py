@@ -62,3 +62,41 @@ def salted_agg(
     return partial.groupBy(key_col).agg(
         *[fin(f"_p_{name}").alias(name) for _, fin, name in aggs]
     )
+
+
+def maybe_salted_agg(
+    df: DataFrame,
+    key_col: str,
+    aggs: list,
+    plain_aggs: list,
+    n_salts: int = 16,
+    threshold_ratio: float = 0.05,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, bool]:
+    """Auto-salting: run ``detect_hot_keys`` first and engage the
+    two-phase salted plan ONLY when some key holds more than
+    ``threshold_ratio`` of the rows; otherwise emit the plain one-phase
+    groupBy. Returns ``(result_df, salted)``.
+
+    ``plain_aggs`` is a list of ``(expr, name)`` for the direct plan —
+    the salted triples' partial/final decomposition is not invertible
+    (plain ``count(*)`` vs sum-of-partial-counts), so the caller
+    supplies both forms; their equality is property-tested in
+    tests/test_skew_and_cover.py.
+
+    The pre-pass is one map-side-combined count job; pass
+    ``sample_fraction`` at scale (a >=5%-hot key is visible in any
+    sample with overwhelming probability). Where salting matters most
+    — HOLISTIC aggregates like ``collect_set``, whose per-key partial
+    state all converges on a single reducer — express the salted form
+    as ``(F.collect_set(c), lambda p:
+    F.array_distinct(F.flatten(F.collect_list(p))), name)``; algebraic
+    aggregates rarely need salt at all because Spark's partial
+    aggregation already sends one row per map task per key.
+    """
+    probe = df.sample(sample_fraction) if sample_fraction else df
+    hot = detect_hot_keys(probe, key_col, threshold_ratio)
+    if hot.limit(1).count() > 0:
+        return salted_agg(df, key_col, aggs, n_salts=n_salts), True
+    plain = df.groupBy(key_col).agg(*[e.alias(n) for e, n in plain_aggs])
+    return plain, False

@@ -111,3 +111,59 @@ def test_salted_agg_plan_is_two_stage(spark):
         (r["cell"], r["count"]) for r in df.groupBy("cell").count().collect()
     }
     assert got == want
+
+
+def test_salted_collect_set_matches_plain(spark):
+    """The HOLISTIC salted form (partial collect_set per salt, final
+    flatten+array_distinct merge) — the case where salting actually
+    matters, since every plain partial set for a hot key converges on
+    one reducer (bench.py salted_rollup_phase measures the win)."""
+    from s2js_spark.spark.skew import salted_agg
+
+    df = spark.range(20000).selectExpr(
+        "case when id % 2 = 0 then 0 else id % 37 end as key",
+        "concat('u', id % 500) as url",
+    )
+    got = salted_agg(
+        df, "key",
+        aggs=[(
+            F.collect_set("url"),
+            lambda c: F.size(F.array_distinct(F.flatten(F.collect_list(c)))),
+            "n_urls",
+        )],
+        n_salts=8,
+    ).toPandas().sort_values("key").reset_index(drop=True)
+    want = (
+        df.groupBy("key").agg(F.size(F.collect_set("url")).alias("n_urls"))
+        .toPandas().sort_values("key").reset_index(drop=True)
+    )
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["n_urls"].tolist() == want["n_urls"].tolist()
+
+
+def test_maybe_salted_agg_engages_only_on_hot_keys(spark):
+    from s2js_spark.spark.skew import maybe_salted_agg
+
+    aggs = [(F.count("*"), F.sum, "n")]
+    plain_aggs = [(F.count("*"), "n")]
+
+    hot_df = spark.range(20000).selectExpr(
+        "case when id % 2 = 0 then 0 else id % 37 end as key")
+    uni_df = spark.range(20000).selectExpr("id % 1000 as key")
+
+    got_hot, salted = maybe_salted_agg(
+        hot_df, "key", aggs, plain_aggs, threshold_ratio=0.05)
+    assert salted is True
+    # the engaged plan really is the two-phase salted shape
+    assert "_salt" in got_hot._jdf.queryExecution().optimizedPlan().toString()
+
+    got_uni, salted = maybe_salted_agg(
+        uni_df, "key", aggs, plain_aggs, threshold_ratio=0.05)
+    assert salted is False
+    assert "_salt" not in got_uni._jdf.queryExecution().optimizedPlan().toString()
+
+    for got, src in ((got_hot, hot_df), (got_uni, uni_df)):
+        want = src.groupBy("key").count().toPandas().sort_values("key")
+        gp = got.toPandas().sort_values("key")
+        assert gp["key"].tolist() == want["key"].tolist()
+        assert gp["n"].tolist() == want["count"].tolist()
