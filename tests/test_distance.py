@@ -148,3 +148,61 @@ def test_multi_matches_per_ring_scan(spark):
     }
     assert got == want
     assert len(want) > 10
+
+
+def _grid_rings(n: int) -> list[tuple[str, list[list[float]]]]:
+    """n small convex CCW diamonds tiling a lat/lng band."""
+    rings = []
+    for k in range(n):
+        clat = -30.0 + 4.0 * (k // 20)
+        clng = -100.0 + 5.0 * (k % 20)
+        rings.append(
+            (
+                f"g{k}",
+                [
+                    [clng, clat - 0.7], [clng + 0.9, clat],
+                    [clng, clat + 0.7], [clng - 0.9, clat],
+                    [clng, clat - 0.7],
+                ],
+            )
+        )
+    return rings
+
+
+def test_multi_aggregate_fallback_matches_inline(spark):
+    """Past MAX_INLINE_RINGS the refinement switches to ONE aggregate()
+    over broadcast per-tile edge frames (round-4 verdict #4: the
+    inline form's O(rings) expression width would regenerate the
+    janino 64 KB blow-up at real tile-set sizes). 120 rings must
+    (a) equal the exhaustive per-ring scan exactly, and (b) compile
+    with codegen fallback disabled — proving plan size no longer grows
+    with the tile set."""
+    from s2js_spark.spark import distance as dist
+    from s2js_spark.spark.distance import tag_within_distance_multi
+
+    rings = _grid_rings(120)
+    assert len(rings) > dist.MAX_INLINE_RINGS
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, float(rng.uniform(-33, -13)), float(rng.uniform(-103, -2)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    radius = 0.4
+
+    out = tag_within_distance_multi(df, rings, radius)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" in plan  # the O(1)-width refinement engaged
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = {(r["id"], r["tile_i"], r["bdist"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+    want = set()
+    for k, (_tid, ring) in enumerate(rings):
+        for r in tag_within_distance(df, ring, radius).collect():
+            want.add((r["id"], k, r["bdist"]))
+    assert got == want
+    assert len(want) > 50
