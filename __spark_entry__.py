@@ -375,17 +375,56 @@ def _q_cell_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq.s2_parent_sql("cellid", _VECTORIZE_LEVEL).alias("cell"),
     ).distinct()
 
-    def norm(key, pdf):
+    # Fan-out (round-4 verdict #5): sub-key by the level-4 ancestor.
+    # Every sibling-quad merge at levels >4 is confined to one
+    # (lang, prefix) group — a level-5+ cell's parent lies inside the
+    # same level-4 cell — so subgroups normalize independently and the
+    # applyInPandas stage parallelism is langs x occupied level-4
+    # cells instead of langs (5 serial tasks at 100 TB). Only a prefix
+    # that collapsed COMPLETELY (subgroup output at exactly level 4)
+    # can merge further with sibling prefixes; those rows are KBs and
+    # go through a second, per-lang normalize stage. The union is the
+    # same fixpoint as the single-group normalize: quad merges are
+    # confluent and a level-<=4 merge requires all four level-4
+    # subtrees to be complete.
+    pre = cells.withColumn("_pre4", sq.s2_parent_sql("cell", 4))
+
+    def norm_sub(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        from s2js_spark.geometry.cellid_scalar import to_token
         from s2js_spark.geometry.cellunion import CellUnion
 
         cu = CellUnion(int(v) & 0xFFFFFFFFFFFFFFFF for v in pdf["cell"])
         cu.normalize()
-        return pd.DataFrame({"lang": key[0], "token": [to_token(c) for c in cu]})
+        return pd.DataFrame(
+            {
+                "lang": key[0],
+                "cell": np.array([c for c in cu], dtype=np.uint64).astype(
+                    np.int64
+                ),
+            }
+        )
 
-    return cells.groupBy("lang").applyInPandas(norm, "lang string, token string")
+    sub = pre.groupBy("lang", "_pre4").applyInPandas(
+        norm_sub, "lang string, cell long"
+    )
+    # both stage-2 branches read ``sub``; without a persist each branch
+    # re-runs the whole upstream scan+encode+distinct (a second full
+    # pass over the corpus at 100 TB). The persisted set is the
+    # normalized unions — KBs, spill-capable.
+    from pyspark import StorageLevel
+
+    sub = sub.persist(StorageLevel.MEMORY_AND_DISK)
+    lvl = sq.s2_level_sql("cell")
+    deep = sub.filter(lvl > 4)
+    coarse = sub.filter(lvl <= 4).groupBy("lang").applyInPandas(
+        norm_sub, "lang string, cell long"
+    )
+    return (
+        deep.unionByName(coarse)
+        .select("lang", sq.s2_token_sql("cell").alias("token"))
+    )
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
