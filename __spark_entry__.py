@@ -614,15 +614,24 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from s2js_spark.spark.multimodal import extract_features, synth_media
+    """Feature extraction over the mixed media table: image and audio
+    payloads are REAL containers (P6 PPM / PCM16 WAV) whose features
+    come from genuine decode (round-4 verdict #7 — 2 of 3 kinds real);
+    video keeps the documented digest fake, so its feature is not
+    oracle-checked (feat0 NULL). feat0 is an exact float64 integer
+    mean/RMS, reproduced closed-form by the DuckDB oracle."""
+    from s2js_spark.spark.multimodal import extract_features, synth_mixed_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = synth_media(spark, docs)
+    media = synth_mixed_media(docs)
     feats = extract_features(media)
     return feats.select(
         F.col("media_id").cast("long").alias("media_id"),
         "kind",
         F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.when(
+            F.col("kind") != "video", F.element_at("feature", 1)
+        ).alias("feat0"),
     )
 
 
@@ -1266,12 +1275,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM reach GROUP BY src""",
         "media_features": """
-            SELECT doc_id AS media_id,
-              CASE WHEN doc_id % 3 = 0 THEN 'image'
-                   WHEN doc_id % 3 = 1 THEN 'audio'
-                   ELSE 'video' END AS kind,
-              length('BLOB:' || md5(CAST(doc_id AS STRING))) AS n_bytes
-            FROM documents""",
+            WITH m AS (SELECT doc_id AS media_id FROM documents),
+            img AS (
+              SELECT media_id, 8 + media_id % 5 AS w, 6 + media_id % 3 AS h
+              FROM m WHERE media_id % 3 = 0),
+            img_f AS (
+              SELECT media_id, 'image' AS kind,
+                CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                     + 3 * w * h AS BIGINT) AS n_bytes,
+                avg(CAST((media_id + t.range) % 256 AS DOUBLE)) AS feat0
+              FROM img, range(0, 288) t
+              WHERE t.range < 3 * w * h
+              GROUP BY media_id, w, h),
+            aud AS (
+              SELECT media_id, 200 + media_id % 57 AS n
+              FROM m WHERE media_id % 3 = 1),
+            aud_f AS (
+              SELECT media_id, 'audio' AS kind,
+                CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+                sqrt(avg(power(
+                  CAST((media_id * 17 + t.range * 29) % 4096 - 2048
+                       AS DOUBLE), 2))) AS feat0
+              FROM aud, range(0, 257) t
+              WHERE t.range < n
+              GROUP BY media_id, n),
+            vid_f AS (
+              SELECT media_id, 'video' AS kind, CAST(37 AS BIGINT) AS n_bytes,
+                CAST(NULL AS DOUBLE) AS feat0
+              FROM m WHERE media_id % 3 = 2)
+            SELECT * FROM img_f UNION ALL SELECT * FROM aud_f
+            UNION ALL SELECT * FROM vid_f""",
         "media_decode": """
             WITH m AS (SELECT doc_id AS media_id FROM documents),
             img AS (

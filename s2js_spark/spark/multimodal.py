@@ -53,7 +53,10 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
         StructField("n_bytes", IntegerType()),
-        StructField("feature", ArrayType(FloatType())),
+        # double, not float: the REAL image/audio features are exact
+        # float64 integer means (oracle-hashable); the video digest
+        # fake is float32-valued and representable exactly either way
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
@@ -250,13 +253,80 @@ def extract_decoded_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+def synth_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table with REAL container payloads for the decodable
+    modalities (round-4 verdict #7): kind by id % 3 exactly as
+    synth_media, but image payloads are genuine P6 PPM bytes and audio
+    payloads genuine PCM16 WAV bytes (_ppm_bytes/_wav_bytes); only
+    video keeps the digest-fake blob (no video codec in this
+    container). Metadata columns match synth_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            kinds, payloads = [], []
+            for m in ids:
+                r = m % 3
+                if r == 0:
+                    kinds.append("image")
+                    payloads.append(_ppm_bytes(m))
+                elif r == 1:
+                    kinds.append("audio")
+                    payloads.append(_wav_bytes(m))
+                else:
+                    kinds.append("video")
+                    payloads.append(
+                        b"BLOB:"
+                        + hashlib.md5(str(m).encode()).hexdigest().encode()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "payload": payloads,
+                    "width": (ids % 1920 + 16).astype("int32"),
+                    "height": (ids % 1080 + 16).astype("int32"),
+                    "duration_ms": (ids % 60000).astype("int32"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _feature_vector(payload: bytes, kind: str, dim: int = 8) -> list[float]:
+    """8-dim feature per payload: REAL decode for the container kinds
+    (image: mean + per-channel means + dims + min/max over the decoded
+    raster; audio: RMS + mean/min/max + sample count + rate), digest
+    fake only for video. All real entries are float64 results of exact
+    integer sums (< 2^53), so feature[0] is oracle-hashable."""
+    buf = bytes(payload)
+    if kind == "image" and buf[:2] == b"P6":
+        px = decode_ppm(buf).astype(np.float64)
+        h, w, _ = px.shape
+        ch = px.reshape(-1, 3).mean(axis=0)
+        return [
+            float(px.mean()), float(ch[0]), float(ch[1]), float(ch[2]),
+            float(w), float(h), float(px.min()), float(px.max()),
+        ][:dim]
+    if kind == "audio" and buf[:4] == b"RIFF":
+        s = decode_wav(buf).astype(np.float64)
+        return [
+            float(np.sqrt(np.mean(s * s))), float(s.mean()),
+            float(s.min()), float(s.max()), float(s.size), 8000.0, 0.0, 0.0,
+        ][:dim]
+    return [float(v) for v in _decode_feature(buf, kind, dim)]
+
+
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """mapInPandas feature extraction over Arrow batches."""
+    """mapInPandas feature extraction over Arrow batches. Payloads
+    carrying a real container (P6 PPM / RIFF WAVE) get genuinely
+    decoded features; anything else falls back to the documented
+    digest fake (_decode_feature)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_feature(p, k).tolist()
+                _feature_vector(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

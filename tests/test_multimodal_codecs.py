@@ -68,3 +68,34 @@ def test_features_match_closed_form():
     nn = s.size
     want_rms = (sum((((m * 17 + 29 * k) % 4096) - 2048) ** 2 for k in range(nn)) / nn) ** 0.5
     assert float(np.sqrt(np.mean(s * s))) == want_rms
+
+
+def test_feature_vector_real_for_container_kinds():
+    """media_features path (round-4 verdict #7): image/audio features
+    come from genuine container decode; video falls back to the digest
+    fake."""
+    import numpy as np
+
+    from s2js_spark.spark.multimodal import (
+        _decode_feature,
+        _feature_vector,
+        _ppm_bytes,
+        _wav_bytes,
+        decode_ppm,
+        decode_wav,
+    )
+
+    m = 6
+    img = _feature_vector(_ppm_bytes(m), "image")
+    px = decode_ppm(_ppm_bytes(m)).astype(np.float64)
+    assert img[0] == px.mean() and img[4] == px.shape[1] and img[5] == px.shape[0]
+    assert img[6] == px.min() and img[7] == px.max()
+
+    m = 7
+    aud = _feature_vector(_wav_bytes(m), "audio")
+    s = decode_wav(_wav_bytes(m)).astype(np.float64)
+    assert aud[0] == float(np.sqrt(np.mean(s * s))) and aud[4] == s.size
+
+    blob = b"BLOB:deadbeef"
+    vid = _feature_vector(blob, "video")
+    assert vid == [float(v) for v in _decode_feature(blob, "video")]
