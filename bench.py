@@ -47,6 +47,14 @@ BUCKET_DIR = os.environ.get("SPARK_GRAFT_BUCKET_DIR", "/dev/shm/s2js-pages")
 # design point jobs run for hours and those costs are noise.
 CLUSTER_AMPLIFY = int(os.environ.get("SPARK_GRAFT_CLUSTER_AMPLIFY", str(16 * AMPLIFY)))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+# Per-visit JIT warm-up corpus for the cluster phase. The flagship's
+# generated whole-stage code (regex + 14-layer S2 encode) runs in the
+# INTERPRETER until C2/janino finish — measured ~50x below compiled
+# throughput — so warming on the default x1600 corpus cost 6-12 min
+# per visit (4x the timed full-size run). x64 (~256k pages) triggers
+# the same compilations in seconds; the visit loops passes until the
+# wall plateaus, which is the observable "compiled" signal.
+WARM_AMPLIFY = int(os.environ.get("SPARK_GRAFT_WARM_AMPLIFY", "64"))
 
 
 def session(n_threads: int) -> SparkSession:
@@ -315,10 +323,12 @@ def _median(vals):
 
 
 def _cluster_visit(cl, ts, n_exec: int) -> tuple[float, float]:
-    """One executor-level visit: session up -> untimed warm-up on the
-    default-size stored corpus (same plan shape, so whole-stage codegen
-    classes and C2-hot paths carry over — janino caches compiled
-    classes by generated source) -> untimed driver-side planning of the
+    """One executor-level visit: session up -> untimed warm-up passes
+    on the small x WARM_AMPLIFY stored corpus, repeated until the wall
+    plateaus (same plan shape, so whole-stage codegen classes and
+    C2-hot paths carry over — janino caches compiled classes by
+    generated source, and a pass stops improving only once the JVMs
+    run compiled code) -> untimed driver-side planning of the
     full-size job -> ONE timed execution run. Returns
     (exec_wall, plan_sec).
 
@@ -338,8 +348,19 @@ def _cluster_visit(cl, ts, n_exec: int) -> tuple[float, float]:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        _wdf, wagg = flagship_frames(spark, ts)  # default AMPLIFY corpus
-        wagg.collect()
+        prev = float("inf")
+        for _ in range(6):
+            # fresh frames per pass: re-collecting one DataFrame would
+            # reuse the map stage's shuffle output (stage skipped) and
+            # never re-run the generated code; a fresh plan hits the
+            # janino class cache but genuinely re-executes the scan
+            _wdf, wagg = flagship_frames(spark, ts, WARM_AMPLIFY)
+            w0 = time.time()
+            wagg.collect()
+            wall = time.time() - w0
+            if wall > 0.7 * prev:  # <30% improvement: code is compiled
+                break
+            prev = wall
         _df, agg = flagship_frames(spark, ts, CLUSTER_AMPLIFY)
         tp0 = time.time()
         agg._jdf.queryExecution().executedPlan()  # cached on the Dataset
@@ -573,10 +594,11 @@ def main() -> None:
     }
     zipf.update(salted_rollup_phase(spark))
     if SCALING:
-        # pre-ingest the scaling corpus with the 32-core session
-        # (untimed, one-off table maintenance); the cluster sessions
-        # re-attach the same files via DDL
+        # pre-ingest the scaling + warm-up corpora with the 32-core
+        # session (untimed, one-off table maintenance); the cluster
+        # sessions re-attach the same files via DDL
         bucketed_pages(spark, CLUSTER_AMPLIFY)
+        bucketed_pages(spark, WARM_AMPLIFY)
     n_urls = pages(spark, SF_DIR).select("url").distinct().count()
     spark.stop()
 
