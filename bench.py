@@ -349,7 +349,8 @@ def _cluster_visit(cl, ts, n_exec: int) -> tuple[float, float]:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         prev = float("inf")
-        for _ in range(6):
+        flat = 0
+        for _ in range(8):
             # fresh frames per pass: re-collecting one DataFrame would
             # reuse the map stage's shuffle output (stage skipped) and
             # never re-run the generated code; a fresh plan hits the
@@ -358,7 +359,13 @@ def _cluster_visit(cl, ts, n_exec: int) -> tuple[float, float]:
             w0 = time.time()
             wagg.collect()
             wall = time.time() - w0
-            if wall > 0.7 * prev:  # <30% improvement: code is compiled
+            # plateau = TWO consecutive <30%-improvement passes: C2
+            # compiles the giant generated methods in the background,
+            # so a single flat pair can occur BEFORE compilation lands
+            # (both passes interpreted) — a later compiled pass resets
+            # the counter and the loop keeps going until truly flat
+            flat = flat + 1 if wall > 0.7 * prev else 0
+            if flat >= 2:
                 break
             prev = wall
         _df, agg = flagship_frames(spark, ts, CLUSTER_AMPLIFY)
