@@ -122,6 +122,21 @@ def _tileset(name: str, tiles, max_cells: int):
     return _TS_CACHE[key]
 
 
+def _tile_name_col(ts) -> "F.Column":
+    """tile_i -> tile_id as a foldable literal-map lookup (round 6):
+    the previous broadcast-join against a createDataFrame names frame
+    cost one RDD-backed broadcast job per run for a handful of
+    constant pairs."""
+    m = F.create_map(
+        *[
+            x
+            for i, t in enumerate(ts.tile_ids)
+            for x in (F.lit(i), F.lit(str(t)))
+        ]
+    )
+    return F.element_at(m, F.col("tile_i"))
+
+
 # Input DataFrames are memoized per (session, sf_dir): DataFrames are
 # immutable+lazy so reuse is free, and handing back the IDENTICAL
 # object lets downstream plan caches (tagjoin._PAIRS_CACHE) hit —
@@ -196,20 +211,14 @@ def _q_rect_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = _tileset("rect", RECT_TILES, 32)
     pairs = tag_tiles_pairs(spark, df, ts)
-    names = spark.createDataFrame(
-        [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
-    )
-    return pairs.join(F.broadcast(names), "tile_i").select("url", "tile_id")
+    return pairs.select("url", _tile_name_col(ts).alias("tile_id"))
 
 
 def _q_pip_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = _tileset("pip", PIP_TILES, 64)
     pairs = tag_tiles_pairs(spark, df, ts)
-    names = spark.createDataFrame(
-        [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
-    )
-    return pairs.join(F.broadcast(names), "tile_i").select("url", "tile_id")
+    return pairs.select("url", _tile_name_col(ts).alias("tile_id"))
 
 
 def _q_pip_big(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,11 +306,8 @@ def _q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _geo_pages(spark, sf_dir).select("url", "lat", "lng")
     ts = _tileset("pip", PIP_TILES, 64)
     pairs = tag_tiles_pairs(spark, df, ts, cellid_col="cellid")
-    names = spark.createDataFrame(
-        [(i, str(t)) for i, t in enumerate(ts.tile_ids)], ["tile_i", "tile_id"]
-    )
     return (
-        pairs.join(F.broadcast(names), "tile_i")
+        pairs.withColumn("tile_id", _tile_name_col(ts))
         .withColumn("cell_l8", sq.s2_token_sql(sq.s2_parent_sql("cellid", 8)))
         .groupBy("tile_id", "cell_l8")
         .agg(F.count("*").cast("long").alias("n_pages"))
@@ -345,11 +351,15 @@ def _q_buffer_tag_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "lat", "lng")
     )
     out = tag_within_distance_multi(df, rings, BUFFER_RADIUS_DEG)
-    names = spark.createDataFrame(
-        [(k, tid) for k, (tid, _) in enumerate(rings)], ["tile_i", "tile_id"]
+    m = F.create_map(
+        *[
+            x
+            for k, (tid, _) in enumerate(rings)
+            for x in (F.lit(k), F.lit(tid))
+        ]
     )
-    return out.join(F.broadcast(names), "tile_i").select(
-        "url", "tile_id", "bdist"
+    return out.select(
+        "url", F.element_at(m, F.col("tile_i")).alias("tile_id"), "bdist"
     )
 
 

@@ -242,7 +242,14 @@ def tag_within_distance_multi(
 
     spark = df.sparkSession
     cov_rows, levels = buffered_covering(rings, radius_deg)
-    cov = spark.createDataFrame(cov_rows, "cell long, tile_i int")
+    # inline VALUES -> LocalRelation: broadcasting it is driver-only
+    # work (a createDataFrame frame is RDD-backed and each broadcast
+    # materialization launches a job; round 6, guide §7)
+    cov = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({c}L, {t})" for c, t in cov_rows)
+        + " AS _bufcov(cell, tile_i)"
+    )
 
     base = df.filter(
         F.col(lat_col).isNotNull() & F.col(lng_col).isNotNull()
@@ -300,7 +307,30 @@ def tag_within_distance_multi(
         )
         return out.drop(*drop)
 
-    geom = spark.createDataFrame(_edge_rows(rings), _EDGE_SCHEMA)
+    def _dlit(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    geom = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"({t}, array("
+            + ", ".join(
+                "named_struct("
+                + ", ".join(
+                    f"'{n}', {_dlit(val)}"
+                    for n, val in zip(
+                        ("ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz", "c2"),
+                        e,
+                    )
+                )
+                + ")"
+                for e in edges
+            )
+            + "))"
+            for t, edges in _edge_rows(rings)
+        )
+        + " AS _bufgeom(tile_i, edges)"
+    )
     staged = staged.join(
         F.broadcast(geom.withColumnRenamed("tile_i", "_geom_tile")),
         F.col("tile_i") == F.col("_geom_tile"),

@@ -84,18 +84,39 @@ def _prune_pairs_cache() -> None:
         del _PAIRS_CACHE[next(iter(_PAIRS_CACHE))]
 
 
+def _big_edge_tiles(ts: TileSetStruct) -> list[int]:
+    """Tiles whose winding test cannot be inlined (edge count past
+    MAX_INLINE_EDGES) and therefore needs the edges-array aggregate."""
+    out = []
+    for t in range(len(ts.tile_ids)):
+        e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
+        if int(ts.tile_kind[t]) == KIND_POLYGON and e1 - e0 > MAX_INLINE_EDGES:
+            out.append(t)
+    return out
+
+
 def covering_frames(
     spark: SparkSession, ts: TileSetStruct
-) -> tuple[DataFrame, DataFrame, list[int]]:
-    """(covering cells df, tile geometry df, sorted covering levels).
+) -> tuple[DataFrame, DataFrame | None, list[int]]:
+    """(merged covering+geometry df, big-poly edges df or None,
+    sorted covering levels).
 
-    Both frames are broadcast-sized: O(covering cells) and
-    O(tiles + polygon edges). Memoized per (tile set, session): the
-    createDataFrame round-trips otherwise add ~0.5s of fixed driver
-    cost to every query over the same tiles. The cache lives in a
-    module dict (NOT on ts — ts is pickled for the exact-residual
-    broadcast, and DataFrames reference the SparkContext), with
-    weakref identity guards against id() reuse.
+    Round-6 shape (guide §2.4/§7: fewer exchanges AND fewer broadcast
+    jobs): ONE broadcast frame carrying each covering cell with its
+    tile's scalar geometry denormalized onto the row (a covering is a
+    few hundred rows — duplication is KBs), instead of the previous
+    cov-join-then-geom-join pair. Only tiles past MAX_INLINE_EDGES
+    keep a second, per-tile edges-array frame (rare: real admin
+    boundaries), because duplicating a 240-edge array across 64
+    covering cells would bloat the broadcast.
+
+    Both frames are built as inline ``VALUES`` SQL, which the analyzer
+    resolves to a LocalRelation: broadcasting a LocalRelation is pure
+    driver work, while the previous ``createDataFrame`` frames were
+    pickled-RDD-backed (``Scan ExistingRDD``) and every broadcast
+    materialization launched a real job with Python-deserializing
+    tasks — measured as 2 of rect_tag's 5 jobs per run. Memoized per
+    (tile set, session) as before, with weakref identity guards.
     """
     key = (id(ts), id(spark))
     hit = _COV_FRAME_CACHE.get(key)
@@ -103,21 +124,35 @@ def covering_frames(
         return hit[2]
     cells = ts.cov_cell
     levels = sorted({int(cs.level(int(c))) for c in cells})
-    cov_rows = [
-        (int(np.uint64(c).astype(np.int64)), int(t), bool(i))
-        for c, t, i in zip(ts.cov_cell, ts.cov_tile, ts.cov_interior)
-    ]
-    cov = spark.createDataFrame(cov_rows, "cell long, tile_i int, interior boolean")
+
+    def d(v: float) -> str:  # shortest round-trip double literal
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    cov_rows = []
+    for c, t, i in zip(ts.cov_cell, ts.cov_tile, ts.cov_interior):
+        t = int(t)
+        lat_lo, lat_hi, lng_lo, lng_hi = (float(v) for v in ts.rect_bounds[t])
+        ccx, ccy, ccz = (float(v) for v in ts.cap_center[t])
+        cov_rows.append(
+            f"({int(np.uint64(c).astype(np.int64))}L, {t},"
+            f" {'true' if i else 'false'}, {int(ts.tile_kind[t])},"
+            f" {'true' if ts.origin_parity[t] else 'false'},"
+            f" {d(lat_lo)}, {d(lat_hi)}, {d(lng_lo)}, {d(lng_hi)},"
+            f" {d(ccx)}, {d(ccy)}, {d(ccz)}, {d(float(ts.cap_r2[t]))})"
+        )
+    cov = spark.sql(
+        "SELECT * FROM VALUES " + ", ".join(cov_rows)
+        + " AS _cov(cell, tile_i, interior, kind, origin_parity,"
+        " lat_lo, lat_hi, lng_lo, lng_hi, ccx, ccy, ccz, cr2)"
+    )
 
     ox, oy, oz = _origin_xyz()
-    geom_rows = []
-    for t in range(len(ts.tile_ids)):
-        kind = int(ts.tile_kind[t])
-        e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
-        edges = []
-        # small polygons are fully inlined into the plan
-        # (_winding_inline_sql); only big ones need the array column
-        if kind == KIND_POLYGON and e1 - e0 > MAX_INLINE_EDGES:
+    geom = None
+    big = _big_edge_tiles(ts)
+    if big:
+        geom_rows = []
+        for t in big:
+            e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
             cx = ts.cx[e0:e1]
             cy = ts.cy[e0:e1]
             cz = ts.cz[e0:e1]
@@ -130,38 +165,19 @@ def covering_frames(
             ny = cz * dx - cx * dz
             nz = cx * dy - cy * dx
             dea = nx * ox + ny * oy + nz * oz
-            edges = [
-                {
-                    "cx": float(cx[k]), "cy": float(cy[k]), "cz": float(cz[k]),
-                    "dx": float(dx[k]), "dy": float(dy[k]), "dz": float(dz[k]),
-                    "nx": float(nx[k]), "ny": float(ny[k]), "nz": float(nz[k]),
-                    "dea": float(dea[k]),
-                }
+            structs = ", ".join(
+                "named_struct("
+                f"'cx', {d(cx[k])}, 'cy', {d(cy[k])}, 'cz', {d(cz[k])},"
+                f" 'dx', {d(dx[k])}, 'dy', {d(dy[k])}, 'dz', {d(dz[k])},"
+                f" 'nx', {d(nx[k])}, 'ny', {d(ny[k])}, 'nz', {d(nz[k])},"
+                f" 'dea', {d(dea[k])})"
                 for k in range(e1 - e0)
-            ]
-        lat_lo, lat_hi, lng_lo, lng_hi = (float(v) for v in ts.rect_bounds[t])
-        ccx, ccy, ccz = (float(v) for v in ts.cap_center[t])
-        geom_rows.append(
-            {
-                "tile_i": t,
-                "kind": kind,
-                "origin_parity": bool(ts.origin_parity[t]),
-                "lat_lo": lat_lo, "lat_hi": lat_hi,
-                "lng_lo": lng_lo, "lng_hi": lng_hi,
-                "ccx": ccx, "ccy": ccy, "ccz": ccz,
-                "cr2": float(ts.cap_r2[t]),
-                "edges": edges,
-            }
+            )
+            geom_rows.append(f"({t}, array({structs}))")
+        geom = spark.sql(
+            "SELECT * FROM VALUES " + ", ".join(geom_rows)
+            + " AS _geom(tile_i, edges)"
         )
-    geom = spark.createDataFrame(
-        geom_rows,
-        "tile_i int, kind int, origin_parity boolean,"
-        " lat_lo double, lat_hi double, lng_lo double, lng_hi double,"
-        " ccx double, ccy double, ccz double, cr2 double,"
-        " edges array<struct<cx:double,cy:double,cz:double,"
-        "dx:double,dy:double,dz:double,"
-        "nx:double,ny:double,nz:double,dea:double>>",
-    )
     _COV_FRAME_CACHE[key] = (weakref.ref(ts), weakref.ref(spark), (cov, geom, levels))
     return cov, geom, levels
 
@@ -273,11 +289,15 @@ def _winding_inline_sql(ts: TileSetStruct) -> str:
             f" + (CASE WHEN {' OR '.join(uncerts)} THEN {_UNCERT}L ELSE 0L END))"
         )
         branches.append(f"WHEN tile_i = {t} THEN {body}")
+    # The aggregate fallback references the ``edges`` column, which
+    # only exists when the tile set actually has past-inline polygons
+    # (covering_frames ships the edges frame only then); otherwise the
+    # ELSE arm is unreachable (every non-interior polygon covering row
+    # has an inline branch) and must not reference the absent column.
+    fallback = _winding_agg_sql() if _big_edge_tiles(ts) else "0L"
     if not branches:
-        return _winding_agg_sql()
-    return (
-        "CASE " + " ".join(branches) + f" ELSE {_winding_agg_sql()} END"
-    )
+        return fallback
+    return "CASE " + " ".join(branches) + f" ELSE {fallback} END"
 
 
 def tag_candidates(
@@ -318,8 +338,12 @@ def tag_candidates(
         pts.withColumn("_anc", F.explode_outer(anc))
         .join(F.broadcast(cov), F.col("_anc") == cov["cell"])
         .drop("cell", "_anc", "_leaf")
-        .join(F.broadcast(geom), "tile_i")
     )
+    if geom is not None:
+        # big-polygon edge arrays ride a second (tiny) broadcast; the
+        # left join leaves inline-refined tiles with a null edges
+        # column their CASE branches never touch
+        cand = cand.join(F.broadcast(geom), "tile_i", "left")
 
     ox, oy, oz = _origin_xyz()
     pi = repr(math.pi)
