@@ -61,6 +61,11 @@ def _estimate_count(df: DataFrame, sample_partitions: int = 4) -> int:
 
 _PTS_CACHE: dict = {}
 _PTS_CACHE_MAX = 16
+# auto-level estimates, memoized per (session, points plan): the level
+# is an index parameter — a property of the corpus, not of one query
+# batch — so repeated-query workloads must not re-run the sampling job
+# per call (it is the same prepared-index amortization as _PTS_CACHE).
+_LEVEL_CACHE: dict = {}
 
 
 def clear_knn_index_cache() -> None:
@@ -165,9 +170,30 @@ def knn_join(
         # here; at 100 TB that is an extra scan of the corpus before
         # the join even starts). The level only needs the right order
         # of magnitude: correctness is level-independent via the
-        # certified brute-force escalation below.
-        n = _estimate_count(points)
-        level = max(2, min(16, int(math.log(max(n, 1) / 32.0 + 1, 4)) + 4))
+        # certified brute-force escalation below. Memoized per
+        # (session, points plan) — see _LEVEL_CACHE.
+        import weakref
+
+        try:
+            psem = points.semanticHash()
+        except Exception:  # pragma: no cover - exotic plans
+            psem = None
+        lkey = (id(spark), psem)
+        lhit = _LEVEL_CACHE.get(lkey)
+        if (
+            psem is not None
+            and lhit is not None
+            and lhit[0]() is spark
+            and points.sameSemantics(lhit[1])
+        ):
+            level = lhit[2]
+        else:
+            n = _estimate_count(points)
+            level = max(2, min(16, int(math.log(max(n, 1) / 32.0 + 1, 4)) + 4))
+            if psem is not None:
+                while len(_LEVEL_CACHE) >= _PTS_CACHE_MAX:
+                    del _LEVEL_CACHE[next(iter(_LEVEL_CACHE))]
+                _LEVEL_CACHE[lkey] = (weakref.ref(spark), points, level)
 
     # Point-side cell key via the pure-SQL JVM encode (sqlkernels),
     # memoized + lineage-truncated: the corpus side must never cross
@@ -194,11 +220,23 @@ def knn_join(
 
     # Certification: the 3x3 ring at `level` guarantees correctness iff
     # the k-th distance is below the minimum cell width at that level.
-    # topk is tiny (<= k rows per query) — cache it so the
-    # certification count and the final result share one computation.
+    #
+    # Round 6: the whole certify-and-escalate decision is now ONE lazy
+    # plan instead of an eager ``isEmpty`` probe + ``persist`` at build
+    # time (which executed the full topk during DataFrame construction,
+    # left a persisted result behind, and cost 2-3 extra jobs per
+    # call). The brute branch streams the memoized NARROW index table
+    # ``pts`` — the same rows as ``points`` with null coordinates
+    # dropped (null-coordinate points can never be nearest neighbors;
+    # the brute-force oracle filters them too) — so when every query
+    # certifies, the escalation branch costs one scan of the
+    # checkpointed (id, lat, lng) table joined against an empty
+    # broadcast, not a second pass over the corpus pipeline. The
+    # shared topk subtree's window exchange is reused across the
+    # certified and escalation branches (ReuseExchange), so nothing is
+    # computed twice at scale.
     min_width = MIN_WIDTH_METRIC.value(level)
     max_certified_chord2 = (2 * math.sin(min(math.pi, min_width) / 2)) ** 2
-    topk = topk.persist()
     per_q = topk.groupBy(query_id).agg(
         F.max("chord2").alias("_kth"), F.count("*").alias("_n")
     )
@@ -209,12 +247,7 @@ def knn_join(
     # neighborhood holds zero candidates never appears in per_q at all
     # and must still fall back to brute force.
     bad_q = queries.join(certified, query_id, "left_anti")
-
-    if bad_q.isEmpty():
-        return topk
-
-    # Escalate the (rare) under-covered queries to brute force.
-    brute = points.crossJoin(F.broadcast(bad_q))
+    brute = pts.drop("_cell").crossJoin(F.broadcast(bad_q))
     brute_topk = (
         brute.withColumn(
             "chord2",

@@ -153,16 +153,41 @@ def lsh_topk(
         )
         .drop("_sig")
     )
-    joined = v.join(F.broadcast(q) if broadcast_queries else q, "bucket")
-    # dedup pairs that matched in multiple bands
-    w_dedup = Window.partitionBy(query_id_col, id_col).orderBy("bucket")
-    cand = (
-        joined.withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "bucket")
-    )
     sim = F.expr(cosine_expr(vec_col, query_vec_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    if broadcast_queries:
+        joined = v.join(F.broadcast(q), "bucket")
+        # dedup pairs that matched in multiple bands
+        w_dedup = Window.partitionBy(query_id_col, id_col).orderBy("bucket")
+        cand = (
+            joined.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "bucket")
+        )
+    else:
+        # Corpus-scale SELF-join (round 6, guide §2.3/§8: shuffle keys
+        # and metadata, not payloads). The previous plan carried BOTH
+        # embedding arrays through the band equi-join, the multi-band
+        # dedup window's shuffle AND the top-k window's shuffle —
+        # ~300 B of vector payload per candidate row, three times
+        # (measured 23s at sf0.1: ~37M candidate rows x 2 vectors).
+        # Here only (query_id, id) id pairs flow through the band join
+        # and the dedup aggregate; the two embeddings re-attach by
+        # plain equi-joins against the (narrow) vector tables before
+        # the exact-cosine ranking. Nothing corpus-sized is broadcast
+        # by construction — AQE may choose broadcast locally, but the
+        # structural plan is id-keyed equi-joins, linear at 10^12
+        # docs.
+        pair_ids = (
+            v.select(F.col(id_col), "bucket")
+            .join(q.select(F.col(query_id_col), "bucket"), "bucket")
+            .groupBy(query_id_col, id_col)
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+        )
+        cand = pair_ids.join(
+            vectors.select(id_col, vec_col), id_col
+        ).join(queries.select(query_id_col, query_vec_col), query_id_col)
     return (
         cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
@@ -185,25 +210,36 @@ def lsh_candidate_pairs(
     (reproducible across engines)."""
     sig = F.expr(lsh_signature_expr(vec_col, num_planes))
     rows_per_band = num_planes // bands
+    # Round 6 (guide §2.3/§8): only (id, bucket) flows through the
+    # self-join and the pair dedup — the previous plan shuffled both
+    # embedding payloads through the band join AND dropDuplicates.
+    # The two vectors re-attach by id equi-joins for the exact cosine.
     banded = (
         vectors.select(id_col, vec_col)
         .withColumn("_sig", sig)
         .withColumn(
             "bucket", F.explode(_band_keys(F.col("_sig"), rows_per_band, bands, False))
         )
-        .drop("_sig")
+        .select(id_col, "bucket")
     )
-    left = banded.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "bucket"
-    )
-    pairs = (
+    left = banded.select(F.col(id_col).alias("_ida"), "bucket")
+    right = banded.select(F.col(id_col).alias("_idb"), "bucket")
+    pair_ids = (
         left.join(right, "bucket")
         .filter(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb", "_va", "_vb")
+        .select("_ida", "_idb")
         .dropDuplicates(["_ida", "_idb"])
+    )
+    pairs = pair_ids.join(
+        vectors.select(
+            F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+        ),
+        "_ida",
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+        ),
+        "_idb",
     )
     return pairs.select(
         "_ida", "_idb", F.expr(cosine_expr("_va", "_vb")).alias("sim")

@@ -84,39 +84,35 @@ def _prune_pairs_cache() -> None:
         del _PAIRS_CACHE[next(iter(_PAIRS_CACHE))]
 
 
-def _big_edge_tiles(ts: TileSetStruct) -> list[int]:
-    """Tiles whose winding test cannot be inlined (edge count past
-    MAX_INLINE_EDGES) and therefore needs the edges-array aggregate."""
-    out = []
-    for t in range(len(ts.tile_ids)):
-        e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
-        if int(ts.tile_kind[t]) == KIND_POLYGON and e1 - e0 > MAX_INLINE_EDGES:
-            out.append(t)
-    return out
+_EDGE_STRUCT = (
+    "array<struct<cx:double,cy:double,cz:double,"
+    "dx:double,dy:double,dz:double,"
+    "nx:double,ny:double,nz:double,dea:double>>"
+)
 
 
 def covering_frames(
     spark: SparkSession, ts: TileSetStruct
-) -> tuple[DataFrame, DataFrame | None, list[int]]:
-    """(merged covering+geometry df, big-poly edges df or None,
-    sorted covering levels).
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """(covering cells df, tile geometry df, sorted covering levels).
 
-    Round-6 shape (guide §2.4/§7: fewer exchanges AND fewer broadcast
-    jobs): ONE broadcast frame carrying each covering cell with its
-    tile's scalar geometry denormalized onto the row (a covering is a
-    few hundred rows — duplication is KBs), instead of the previous
-    cov-join-then-geom-join pair. Only tiles past MAX_INLINE_EDGES
-    keep a second, per-tile edges-array frame (rare: real admin
-    boundaries), because duplicating a 240-edge array across 64
-    covering cells would bloat the broadcast.
+    Both frames are broadcast-sized: O(covering cells) and
+    O(tiles + polygon edges), joined separately (cell lookup, then
+    per-tile geometry). Round 6 NOTE: a merged single-frame variant
+    (geometry denormalized onto every covering row, one join) was
+    built, measured and REVERTED — it measured no better than the
+    two-join shape once the _winding_inline_sql fallback regression
+    (see that function) was isolated, and the two-join shape keeps the
+    prior plan structure.
 
-    Both frames are built as inline ``VALUES`` SQL, which the analyzer
-    resolves to a LocalRelation: broadcasting a LocalRelation is pure
-    driver work, while the previous ``createDataFrame`` frames were
-    pickled-RDD-backed (``Scan ExistingRDD``) and every broadcast
-    materialization launched a real job with Python-deserializing
-    tasks — measured as 2 of rect_tag's 5 jobs per run. Memoized per
-    (tile set, session) as before, with weakref identity guards.
+    What round 6 keeps: both frames are inline ``VALUES`` SQL, which
+    the analyzer resolves to a LocalRelation — broadcasting a
+    LocalRelation is pure driver work, while the previous
+    ``createDataFrame`` frames were pickled-RDD-backed
+    (``Scan ExistingRDD``) and every broadcast materialization
+    launched a real job with Python-deserializing tasks (2 of
+    rect_tag's 5 jobs per run). Memoized per (tile set, session) as
+    before, with weakref identity guards.
     """
     key = (id(ts), id(spark))
     hit = _COV_FRAME_CACHE.get(key)
@@ -128,31 +124,24 @@ def covering_frames(
     def d(v: float) -> str:  # shortest round-trip double literal
         return f"CAST('{float(v)!r}' AS DOUBLE)"
 
-    cov_rows = []
-    for c, t, i in zip(ts.cov_cell, ts.cov_tile, ts.cov_interior):
-        t = int(t)
-        lat_lo, lat_hi, lng_lo, lng_hi = (float(v) for v in ts.rect_bounds[t])
-        ccx, ccy, ccz = (float(v) for v in ts.cap_center[t])
-        cov_rows.append(
-            f"({int(np.uint64(c).astype(np.int64))}L, {t},"
-            f" {'true' if i else 'false'}, {int(ts.tile_kind[t])},"
-            f" {'true' if ts.origin_parity[t] else 'false'},"
-            f" {d(lat_lo)}, {d(lat_hi)}, {d(lng_lo)}, {d(lng_hi)},"
-            f" {d(ccx)}, {d(ccy)}, {d(ccz)}, {d(float(ts.cap_r2[t]))})"
-        )
+    cov_rows = [
+        f"({int(np.uint64(c).astype(np.int64))}L, {int(t)},"
+        f" {'true' if i else 'false'})"
+        for c, t, i in zip(ts.cov_cell, ts.cov_tile, ts.cov_interior)
+    ]
     cov = spark.sql(
         "SELECT * FROM VALUES " + ", ".join(cov_rows)
-        + " AS _cov(cell, tile_i, interior, kind, origin_parity,"
-        " lat_lo, lat_hi, lng_lo, lng_hi, ccx, ccy, ccz, cr2)"
+        + " AS _cov(cell, tile_i, interior)"
     )
 
     ox, oy, oz = _origin_xyz()
-    geom = None
-    big = _big_edge_tiles(ts)
-    if big:
-        geom_rows = []
-        for t in big:
-            e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
+    geom_rows = []
+    for t in range(len(ts.tile_ids)):
+        kind = int(ts.tile_kind[t])
+        e0, e1 = int(ts.edge_off[t]), int(ts.edge_off[t + 1])
+        # small polygons are fully inlined into the plan
+        # (_winding_inline_sql); only big ones need the array column
+        if kind == KIND_POLYGON and e1 - e0 > MAX_INLINE_EDGES:
             cx = ts.cx[e0:e1]
             cy = ts.cy[e0:e1]
             cz = ts.cz[e0:e1]
@@ -173,11 +162,23 @@ def covering_frames(
                 f" 'dea', {d(dea[k])})"
                 for k in range(e1 - e0)
             )
-            geom_rows.append(f"({t}, array({structs}))")
-        geom = spark.sql(
-            "SELECT * FROM VALUES " + ", ".join(geom_rows)
-            + " AS _geom(tile_i, edges)"
+            edges_sql = f"array({structs})"
+        else:
+            edges_sql = f"CAST(array() AS {_EDGE_STRUCT})"
+        lat_lo, lat_hi, lng_lo, lng_hi = (float(v) for v in ts.rect_bounds[t])
+        ccx, ccy, ccz = (float(v) for v in ts.cap_center[t])
+        geom_rows.append(
+            f"({t}, {kind},"
+            f" {'true' if ts.origin_parity[t] else 'false'},"
+            f" {d(lat_lo)}, {d(lat_hi)}, {d(lng_lo)}, {d(lng_hi)},"
+            f" {d(ccx)}, {d(ccy)}, {d(ccz)}, {d(float(ts.cap_r2[t]))},"
+            f" {edges_sql})"
         )
+    geom = spark.sql(
+        "SELECT * FROM VALUES " + ", ".join(geom_rows)
+        + " AS _geom(tile_i, kind, origin_parity,"
+        " lat_lo, lat_hi, lng_lo, lng_hi, ccx, ccy, ccz, cr2, edges)"
+    )
     _COV_FRAME_CACHE[key] = (weakref.ref(ts), weakref.ref(spark), (cov, geom, levels))
     return cov, geom, levels
 
@@ -289,12 +290,17 @@ def _winding_inline_sql(ts: TileSetStruct) -> str:
             f" + (CASE WHEN {' OR '.join(uncerts)} THEN {_UNCERT}L ELSE 0L END))"
         )
         branches.append(f"WHEN tile_i = {t} THEN {body}")
-    # The aggregate fallback references the ``edges`` column, which
-    # only exists when the tile set actually has past-inline polygons
-    # (covering_frames ships the edges frame only then); otherwise the
-    # ELSE arm is unreachable (every non-interior polygon covering row
-    # has an inline branch) and must not reference the absent column.
-    fallback = _winding_agg_sql() if _big_edge_tiles(ts) else "0L"
+    # The ELSE arm must STAY the aggregate form even when every
+    # polygon tile is inlined (making it unreachable): a round-6
+    # experiment replaced it with a plain `0L` for inline-only tile
+    # sets and the flagship ran 3.5x SLOWER (interleaved A/B, 13.6s vs
+    # 3.9s at x1600) — without the higher-order aggregate() the _wind
+    # CASE counts as collapsible, CollapseProject inlines it into its
+    # multiple consumers (_uncert, _poly_parity -> _keep_sql), and the
+    # whole winding unroll is re-evaluated per consumer per row. The
+    # `edges` column the fallback references is always present
+    # (covering_frames ships typed empty arrays for inline tiles).
+    fallback = _winding_agg_sql()
     if not branches:
         return fallback
     return "CASE " + " ".join(branches) + f" ELSE {fallback} END"
@@ -338,12 +344,8 @@ def tag_candidates(
         pts.withColumn("_anc", F.explode_outer(anc))
         .join(F.broadcast(cov), F.col("_anc") == cov["cell"])
         .drop("cell", "_anc", "_leaf")
+        .join(F.broadcast(geom), "tile_i")
     )
-    if geom is not None:
-        # big-polygon edge arrays ride a second (tiny) broadcast; the
-        # left join leaves inline-refined tiles with a null edges
-        # column their CASE branches never touch
-        cand = cand.join(F.broadcast(geom), "tile_i", "left")
 
     ox, oy, oz = _origin_xyz()
     pi = repr(math.pi)

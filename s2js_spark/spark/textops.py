@@ -121,26 +121,52 @@ def minhash_dedup_groups(
     # (min over the shingle multiset == min over the set; verified
     # set-equal on sf0.1). Rows with null/empty text produce no bands
     # (they cannot be near-dups of anything).
-    sh = (
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
+    # Round 6 (guide §4.1/§1.2): explode the shingle INDEX (a primitive
+    # int sequence) and compute substring(text, i, k) in the codegen
+    # projection above the Generate, instead of materializing a
+    # ~250-element array of string shingles per row inside an
+    # interpreted transform() lambda — same multiset, ~20% off the
+    # explode stage. explode_OUTER still defeats
+    # InferFiltersFromGenerate (the sequence is never empty:
+    # greatest(..., 1) >= 1).
+    ex = (
+        df.select(key_col, F.col(text_col))
+        .withColumn(
+            "_i",
+            F.explode_outer(
+                F.expr(
+                    f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))"
+                )
+            ),
+        )
+        .select(key_col, F.expr(f"substring({text_col}, _i, {k})").alias("_s"))
     )
-    # explode_OUTER: semantically identical (the transform sequence is
-    # never empty — greatest(..., 1) guarantees >= 1 element), but a
-    # plain explode makes InferFiltersFromGenerate synthesize a
-    # size(shingles) > 0 filter that evaluates the transform a second
-    # time per row.
-    ex = df.select(key_col, F.explode_outer(F.expr(sh)).alias("_s"))
+    # min over the NUMERIC value of each 8-hex-char digest slice
+    # instead of the string: identical order (fixed-width lowercase
+    # hex), but long agg buffers qualify for HashAggregate — the
+    # string-min form fell back to SortAggregate, which SORTS the
+    # entire exploded shingle stream per partition (a guaranteed
+    # scale-killer at 10^12 docs). Values reconstruct bitwise via
+    # lower(lpad(hex(.), 8, '0')) (verified value-equal on sf0.1).
     aggs = []
     for i in range(num_hashes):
         salt, slice_i = divmod(i, 4)
-        digest = F.md5(F.concat(F.lit(f"salt{salt}:"), F.col("_s")))
         aggs.append(
-            F.min(F.substring(digest, 1 + 8 * slice_i, 8)).alias(f"_m{i}")
+            F.min(
+                F.expr(
+                    f"cast(conv(substring(md5(concat('salt{salt}:', _s)),"
+                    f" {1 + 8 * slice_i}, 8), 16, 10) as bigint)"
+                )
+            ).alias(f"_m{i}")
         )
     sig = ex.groupBy(key_col).agg(*aggs).select(
         key_col,
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.array(
+            *[
+                F.expr(f"lower(lpad(hex(_m{i}), 8, '0'))")
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     bands_arr = F.expr(
         f"transform(sequence(0, {bands - 1}),"
@@ -219,11 +245,19 @@ def min_label_components(
     # round's joins, so without lineage truncation the logical plan
     # doubles per iteration and the driver OOMs just PRINTING it. On a
     # real cluster use a reliable checkpoint dir instead.
+    # Round 6: checkpoints are LAZY (eager=False) and each round's
+    # convergence test rides the same action that materializes the
+    # round's checkpoint — the old-label column is carried through the
+    # round so "did anything change" is a filter over the new frame
+    # instead of a separate join-back job (halves the actions per
+    # round; the per-round join work is unchanged).
     edges = star.unionByName(
         star.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
-    labels = nodes.withColumn("_lbl", F.col(key_col)).localCheckpoint()
+    labels = nodes.withColumn("_lbl", F.col(key_col)).localCheckpoint(
+        eager=False
+    )
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -238,6 +272,7 @@ def min_label_components(
             F.least(
                 F.col("_lbl"), F.coalesce(F.col("_nbr_lbl"), F.col("_lbl"))
             ).alias("_lbl"),
+            F.col("_lbl").alias("_lbl_old"),
         )
         # Pointer doubling: _lbl <- label(_lbl). Labels are always node
         # keys and label(y) <= y, so the step is monotone and halves
@@ -251,15 +286,13 @@ def min_label_components(
             .select(
                 prop[key_col],
                 F.coalesce(F.col("_plbl"), prop["_lbl"]).alias("_lbl"),
+                F.col("_lbl_old"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("_lbl", "_old"), key_col)
-            .filter(F.col("_lbl") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        # one action: materializes the checkpoint AND counts changes
+        changed = new_labels.filter(F.col("_lbl") != F.col("_lbl_old")).count()
+        labels = new_labels.select(key_col, "_lbl")
         if changed == 0:
             converged = True
             break
@@ -273,6 +306,61 @@ def min_label_components(
         F.col(key_col),
         F.col("_lbl").alias("rep"),
         (F.col(key_col) == F.col("_lbl")).cast("long").alias("keep"),
+    )
+
+
+def simhash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    key_cols: tuple = ("url", "doc_id"),
+    num_bits: int = 16,
+) -> DataFrame:
+    """Per-row SimHash as explode + grouped conditional sums
+    (round 6, guide §4.1): ``simhash64`` evaluates 16 interpreted
+    ``aggregate()`` lambdas over a per-row shingle-hash array —
+    ~num_bits x shingles interpreted closures per document (measured
+    2.5s at sf0.1). This form explodes the shingle index, computes the
+    md5-derived hash once per shingle in codegen, and takes the same
+    +-1 bit sums as 16 HashAggregate long sums — bit-for-bit the same
+    fingerprint (integer sums are order-free). ``key_cols`` must be a
+    per-row unique key set (url alone is NOT unique across re-crawls).
+
+    Returns (*key_cols, simhash).
+    """
+    ex = (
+        df.select(*key_cols, F.col(text_col))
+        .withColumn(
+            "_i",
+            F.explode_outer(
+                F.expr(
+                    f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))"
+                )
+            ),
+        )
+        .select(
+            *key_cols,
+            F.expr(
+                f"cast(conv(substring(md5(substring({text_col}, _i, {k})),"
+                f" 1, 15), 16, 10) as bigint)"
+            ).alias("_h"),
+        )
+    )
+    sums = [
+        F.sum(
+            F.expr(
+                f"case when (_h div {1 << j}) % 2 = 1 then 1 else -1 end"
+            )
+        ).alias(f"_b{j}")
+        for j in range(num_bits)
+    ]
+    agg = ex.groupBy(*key_cols).agg(*sums)
+    bits = " + ".join(
+        f"(case when _b{j} > 0 then {1 << j}L else 0L end)"
+        for j in range(num_bits)
+    )
+    return agg.select(
+        *key_cols, F.expr(f"cast(({bits}) as bigint)").alias("simhash")
     )
 
 
