@@ -289,7 +289,12 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_pages"),
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
-        .orderBy("cell_l6")
+        # single-partition sort instead of orderBy: the rollup output
+        # is output-sized (level-6 cells), and a global orderBy costs a
+        # RangePartitioning sampling job + exchange PER RUN for the
+        # same ordered rows (round 6)
+        .coalesce(1)
+        .sortWithinPartitions("cell_l6")
     )
 
 
@@ -447,6 +452,19 @@ def _q_cell_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_queries_df(spark: SparkSession) -> DataFrame:
+    """The query batch as inline VALUES (LocalRelation): lets knn_join
+    compute the 3x3 neighborhoods driver-side instead of spending a
+    per-run Python-UDF evaluation on 5 rows (round 6)."""
+    vals = ", ".join(
+        f"({qid}, CAST('{qlat!r}' AS DOUBLE), CAST('{qlng!r}' AS DOUBLE))"
+        for qid, qlat, qlng in KNN_QUERIES
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS q(query_id, qlat, qlng)"
+    )
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest geotagged pages per query point (chord^2 metric).
 
@@ -462,7 +480,7 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = dedup_latest(_geo_pages(spark, sf_dir)).filter(F.col("lat").isNotNull())
     pts = df.select(F.col("url").alias("id"), "lat", "lng")
-    q = spark.createDataFrame(KNN_QUERIES, ["query_id", "qlat", "qlng"])
+    q = _knn_queries_df(spark)
     # level pinned (city-scale density) — auto-selection would spend a
     # full pass counting points; exactness holds at ANY level via the
     # certified brute-force escalation
@@ -488,7 +506,7 @@ def _q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = dedup_latest(_geo_pages(spark, sf_dir)).filter(F.col("lat").isNotNull())
     pts = df.select(F.col("url").alias("id"), "lat", "lng")
-    q = spark.createDataFrame(KNN_QUERIES, ["query_id", "qlat", "qlng"])
+    q = _knn_queries_df(spark)
     out = knn_join(spark, pts, q, k=KNN_K)  # level=None -> estimator
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),

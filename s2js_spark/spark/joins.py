@@ -149,6 +149,63 @@ def _cell_keyed_points(
     return pts
 
 
+def _local_neighborhood_frame(
+    spark: SparkSession,
+    queries: DataFrame,
+    level: int,
+    query_id: str,
+) -> DataFrame | None:
+    """Driver-side (query_id, qlat, qlng, _cell) VALUES frame for a
+    LocalRelation query batch, or None when the query side is a real
+    distributed frame (falls back to the vectorized UDF path). Cell
+    values are the same kernels.neighbors_3x3 the UDF computes."""
+    try:
+        plan = queries._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        rows = queries.collect()  # LocalRelation: driver-only, no job
+    except Exception:  # pragma: no cover - exotic sessions
+        return None
+    if not rows or len(rows) > 10_000:
+        return None
+    cols = set(queries.columns)
+    if not {query_id, "qlat", "qlng"} <= cols:
+        return None
+
+    def qid_sql(v) -> str | None:
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, np.integer)):
+            return f"{int(v)}L"
+        if isinstance(v, str) and "'" not in v and "\\" not in v:
+            return f"'{v}'"
+        return None
+
+    lats = np.array([float(r["qlat"]) for r in rows], dtype=np.float64)
+    lngs = np.array([float(r["qlng"]) for r in rows], dtype=np.float64)
+    leaf = kc.from_latlng_degrees(lats, lngs)
+    cells = kc.to_int64(kc.neighbors_3x3(leaf, level)).T  # (n, 9)
+    vals = []
+    for r, row9 in zip(rows, cells):
+        qid = qid_sql(r[query_id])
+        if qid is None:  # unsupported id type: use the UDF path
+            return None
+        for c in dict.fromkeys(int(v) for v in row9):
+            vals.append(
+                f"({qid}, CAST('{float(r['qlat'])!r}' AS DOUBLE),"
+                f" CAST('{float(r['qlng'])!r}' AS DOUBLE), {c}L)"
+            )
+    out = spark.sql(
+        "SELECT * FROM VALUES " + ", ".join(vals)
+        + f" AS _q({query_id}, qlat, qlng, _cell)"
+    )
+    # match the incoming query_id type (entry uses int ids; VALUES
+    # spelled them as longs)
+    return out.withColumn(
+        query_id, F.col(query_id).cast(queries.schema[query_id].dataType)
+    )
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -200,11 +257,20 @@ def knn_join(
     # the Arrow boundary — the round-3 bench showed the pandas-UDF
     # encode alone cost ~1.8s of knn's wall at sf0.1 (an extra Python
     # roundtrip of every point; the 100 TB anti-pattern). The tiny
-    # query side keeps the kernels-backed neighborhood UDF.
+    # query side uses the kernels-backed neighborhood UDF — except
+    # when the query frame is a LocalRelation (driver-literal query
+    # batches, the interactive service shape): then the 3x3
+    # neighborhoods are computed DRIVER-side with the same kernels and
+    # inlined as a VALUES frame, removing the per-run Python
+    # evaluation entirely (round 6 — the ArrowEvalPython stage cost
+    # ~0.9s per run for a 5-row query batch at sf0.1).
     pts = _cell_keyed_points(spark, points, level)
-    q = queries.withColumn(
-        "_cells", _neighborhood_cells(F.col("qlat"), F.col("qlng"), F.lit(level))
-    ).withColumn("_cell", F.explode("_cells")).drop("_cells")
+    q = _local_neighborhood_frame(spark, queries, level, query_id)
+    if q is None:
+        q = queries.withColumn(
+            "_cells",
+            _neighborhood_cells(F.col("qlat"), F.col("qlng"), F.lit(level)),
+        ).withColumn("_cell", F.explode("_cells")).drop("_cells")
 
     cand = q.join(pts, "_cell")
     chord2 = F.round(
