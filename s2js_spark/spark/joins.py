@@ -160,7 +160,10 @@ def _local_neighborhood_frame(
     distributed frame (falls back to the vectorized UDF path). Cell
     values are the same kernels.neighbors_3x3 the UDF computes."""
     try:
-        plan = queries._jdf.queryExecution().analyzed()
+        # optimized (not analyzed) plan: ConvertToLocalRelation folds
+        # the Project a `SELECT * FROM VALUES` wraps around the
+        # LocalRelation
+        plan = queries._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() != "LocalRelation":
             return None
         rows = queries.collect()  # LocalRelation: driver-only, no job
