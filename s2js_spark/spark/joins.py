@@ -149,6 +149,30 @@ def _cell_keyed_points(
     return pts
 
 
+def _chord2_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> F.Column:
+    """Squared chord distance as a pure-SQL column (round 6): the
+    pandas-UDF form (functions.s2_chord2) shipped EVERY candidate row
+    through an ArrowEvalPython stage — the 100 TB anti-pattern this
+    module's own docstring warns about, and ~0.3s of fixed Python
+    stage cost per run locally. Same operation order as
+    kernels.stuv.latlng_to_xyz + the minimum clamp
+    (cos(lng)*cos(lat), sin(lng)*cos(lat), sin(lat); min(4, |d|^2));
+    every post-trig op is IEEE correctly-rounded in both forms, and
+    the JVM's trig is the engine's canonical choice for DataFrame
+    geometry (sqlkernels' encode chain made the same call)."""
+    d = math.pi / 180.0
+    la1, ln1 = F.col(lat1) * d, F.col(lng1) * d
+    la2, ln2 = F.col(lat2) * d, F.col(lng2) * d
+    x1 = F.cos(ln1) * F.cos(la1)
+    y1 = F.sin(ln1) * F.cos(la1)
+    z1 = F.sin(la1)
+    x2 = F.cos(ln2) * F.cos(la2)
+    y2 = F.sin(ln2) * F.cos(la2)
+    z2 = F.sin(la2)
+    dx, dy, dz = x1 - x2, y1 - y2, z1 - z2
+    return F.least(F.lit(4.0), dx * dx + dy * dy + dz * dz)
+
+
 def _local_neighborhood_frame(
     spark: SparkSession,
     queries: DataFrame,
@@ -277,7 +301,7 @@ def knn_join(
 
     cand = q.join(pts, "_cell")
     chord2 = F.round(
-        s2f.s2_chord2(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")), 12
+        _chord2_sql("lat", "lng", "qlat", "qlng"), 12
     )
     w = Window.partitionBy(query_id).orderBy(F.col("chord2"), F.col(point_id))
     topk = (
@@ -320,7 +344,7 @@ def knn_join(
     brute_topk = (
         brute.withColumn(
             "chord2",
-            F.round(s2f.s2_chord2(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")), 12),
+            F.round(_chord2_sql("lat", "lng", "qlat", "qlng"), 12),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
