@@ -26,7 +26,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..geometry.metric import MIN_WIDTH_METRIC
 from ..kernels import cellid as kc
-from . import functions as s2f
 
 
 @F.pandas_udf(ArrayType(LongType()))
