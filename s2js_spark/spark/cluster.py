@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import socket
 import subprocess
+import sys
 import time
 import zipfile
 
@@ -28,6 +29,35 @@ SPARK_HOME = os.path.dirname(pyspark.__file__)
 MASTER_PORT = 7077
 MASTER_URL = f"spark://127.0.0.1:{MASTER_PORT}"
 
+# Orphan-JVM watchdog (round 6, r5 verdict #1c): the round-5 driver
+# run was SIGKILLed by an outer timeout mid-cluster-phase, `stop()`'s
+# finally never ran, and the orphaned Master/Worker/executor JVMs
+# burned cores into the NEXT measurement. Each daemon now starts as
+# its own process-group leader (executors fork inside the Worker's
+# group), and a tiny detached watchdog process kills those groups the
+# moment its parent (the bench process) disappears — robust against
+# SIGKILL, where no in-process cleanup can run.
+_WATCHDOG_SRC = """
+import os, signal, sys, time
+pgid_file = sys.argv[1]
+while os.getppid() != 1:
+    time.sleep(1.0)
+try:
+    with open(pgid_file) as fh:
+        pgids = [int(x) for x in fh.read().split()]
+except Exception:
+    pgids = []
+for pg in pgids:
+    try:
+        os.killpg(pg, signal.SIGKILL)
+    except Exception:
+        pass
+try:
+    os.unlink(pgid_file)
+except Exception:
+    pass
+"""
+
 
 def _launch(cls: str, *args: str, mem: str = "1g") -> subprocess.Popen:
     log = f"/tmp/s2js-{cls.split('.')[-1].lower()}.log"
@@ -35,6 +65,7 @@ def _launch(cls: str, *args: str, mem: str = "1g") -> subprocess.Popen:
         ["java", f"-Xmx{mem}", "-cp", f"{SPARK_HOME}/jars/*", cls, *args],
         stdout=open(log, "w"),
         stderr=subprocess.STDOUT,
+        preexec_fn=os.setsid,  # own process group (executors join it)
         env={
             **os.environ,
             "SPARK_LOCAL_IP": "127.0.0.1",
@@ -76,12 +107,28 @@ class StandaloneCluster:
     def __init__(self) -> None:
         self.master: subprocess.Popen | None = None
         self.worker: subprocess.Popen | None = None
+        self.watchdog: subprocess.Popen | None = None
+        self._pgid_file = f"/tmp/s2js-cluster-pgids-{os.getpid()}"
+
+    def _record_pgids(self) -> None:
+        pgids = [
+            p.pid for p in (self.master, self.worker) if p is not None
+        ]
+        with open(self._pgid_file, "w") as fh:
+            fh.write(" ".join(str(p) for p in pgids))
+        if self.watchdog is None or self.watchdog.poll() is not None:
+            self.watchdog = subprocess.Popen(
+                [sys.executable, "-c", _WATCHDOG_SRC, self._pgid_file],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
 
     def start_master(self) -> None:
         self.master = _launch(
             "org.apache.spark.deploy.master.Master",
             "-h", "127.0.0.1", "-p", str(MASTER_PORT), "--webui-port", "8090",
         )
+        self._record_pgids()
         if not _wait_port(MASTER_PORT):
             raise RuntimeError("standalone master did not start")
 
@@ -92,6 +139,7 @@ class StandaloneCluster:
             "-c", str(cores), "-m", mem, "-h", "127.0.0.1",
             "--webui-port", "8091",
         )
+        self._record_pgids()
         time.sleep(3)
 
     def stop_worker(self) -> None:
@@ -107,6 +155,13 @@ class StandaloneCluster:
             self.master.terminate()
             self.master.wait(timeout=15)
             self.master = None
+        if self.watchdog is not None:
+            self.watchdog.terminate()
+            self.watchdog = None
+        try:
+            os.unlink(self._pgid_file)
+        except OSError:
+            pass
 
     def session(
         self,
